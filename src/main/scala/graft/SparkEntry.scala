@@ -1,13 +1,164 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.Mentions
+import graft.link.PathNorm
+import graft.resolve.CallResolver
+import graft.sources.Transcripts
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql` twin) per
+  * implemented operator from SURVEY.md §2. The transcript corpus is derived
+  * deterministically from the driver's `events` parquet (see
+  * [[graft.sources.Transcripts]]); every oracle SQL re-derives it in a CTE
+  * and computes ground truth analytically from the generator fields, so the
+  * Spark side must EXTRACT correctly from raw text to match.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: end-to-end mention extraction + cascade resolution on
+    * sf0.001 (driver smoke-checks rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val t = Transcripts.fromEvents(spark, dir)
+    val m = Mentions.extract(t).cache()
+    CallResolver.resolveCalls(
+      m.where(col("mention_type") === "FunctionCall"),
+      m.where(col("mention_type") === "FunctionDef")
+    )
+  }
+
+  private def mentionsOf(s: SparkSession, dir: String): DataFrame =
+    Mentions.extract(Transcripts.fromEvents(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A3 corpus scan + normalization: the input table itself, proving
+    // per-turn text equality + stable (conv_id, turn_idx) ordering survive.
+    "kg_transcripts" -> ((s, dir) => Transcripts.fromEvents(s, dir)),
+
+    // B2/B9/B10/B11 mention extraction (rule + dictionary emitters)
+    "kg_mentions" -> ((s, dir) => mentionsOf(s, dir)),
+
+    // C1/C2 resolution cascade with confidence + strategy provenance
+    "kg_resolve_calls" -> { (s, dir) =>
+      val m = mentionsOf(s, dir).cache()
+      CallResolver.resolveCalls(
+        m.where(col("mention_type") === "FunctionCall"),
+        m.where(col("mention_type") === "FunctionDef")
+      )
+    },
+
+    // C4 dictionary/registry resolution (type_resolved analog, conf 1.0)
+    "kg_resolve_entities" -> { (s, dir) =>
+      CallResolver.resolveEntities(
+        s,
+        mentionsOf(s, dir).where(col("mention_type") === "Entity")
+      )
+    },
+
+    // E1–E3 path normalization + Request→Endpoint linking
+    "kg_link_api" -> { (s, dir) =>
+      val m = mentionsOf(s, dir).cache()
+      PathNorm.linkApi(
+        m.where(col("mention_type") === "Request"),
+        m.where(col("mention_type") === "Endpoint")
+      )
+    }
+  )
+
+  private val O = Transcripts.oracle _
+
+  def oracleSql: Map[String, String] = Map(
+    "kg_transcripts" -> O(
+      "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
+    ),
+    "kg_mentions" -> O("""
+      SELECT conv_id, turn_idx, 'Entity' AS mention_type, alias AS name,
+             CAST(NULL AS VARCHAR) AS verb, CAST(NULL AS VARCHAR) AS path FROM enriched
+      UNION ALL
+      SELECT conv_id, turn_idx, 'Entity', 'SparkEngine', NULL, NULL
+      FROM enriched WHERE (event_id % 3) = 0
+      UNION ALL
+      SELECT conv_id, turn_idx, 'Entity', alias2, NULL, NULL
+      FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
+      UNION ALL
+      SELECT conv_id, turn_idx,
+             CASE WHEN role = 'tool' THEN 'FunctionDef' ELSE 'FunctionCall' END,
+             (CASE WHEN role = 'tool' THEN alias ELSE alias2 END) || '_handler', NULL, NULL
+      FROM enriched WHERE role = 'tool' OR (role = 'user' AND (event_id % 7) = 3)
+      UNION ALL
+      SELECT conv_id, turn_idx,
+             CASE WHEN role = 'tool' THEN 'Endpoint' ELSE 'Request' END,
+             CASE WHEN role = 'tool' THEN path ELSE replace(path, '{id}', '$' || '{id}') END,
+             verb,
+             CASE WHEN role = 'tool' THEN path ELSE replace(path, '{id}', '$' || '{id}') END
+      FROM enriched WHERE role IN ('tool','assistant')
+      UNION ALL
+      SELECT conv_id, turn_idx, 'Tool', tool, NULL, NULL
+      FROM enriched WHERE tool IS NOT NULL
+    """),
+    "kg_resolve_calls" -> O("""
+      , calls AS (
+        SELECT conv_id, turn_idx, alias2 || '_handler' AS name
+        FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
+      ), defs AS (
+        SELECT DISTINCT alias || '_handler' AS name, conv_id AS def_conv
+        FROM enriched WHERE role = 'tool'
+      ), gu AS (
+        SELECT name, min(def_conv) AS resolved_conv
+        FROM defs GROUP BY name HAVING count(DISTINCT def_conv) = 1
+      ), byuser AS (
+        SELECT name, substr(def_conv, 1, 11) AS user_prefix, min(def_conv) AS resolved_conv
+        FROM defs GROUP BY 1, 2
+      )
+      SELECT c.conv_id, c.turn_idx, c.name,
+        CASE WHEN gu.name IS NOT NULL THEN gu.resolved_conv
+             WHEN sc.name IS NOT NULL THEN c.conv_id
+             WHEN bu.name IS NOT NULL THEN bu.resolved_conv
+             ELSE 'unverified' END AS resolved_conv,
+        CAST(CASE WHEN gu.name IS NOT NULL THEN 0.90
+             WHEN sc.name IS NOT NULL THEN 0.85
+             WHEN bu.name IS NOT NULL THEN 0.45
+             ELSE 0.35 END AS DOUBLE) AS confidence,
+        CASE WHEN gu.name IS NOT NULL THEN 'global_unique'
+             WHEN sc.name IS NOT NULL THEN 'same_conv'
+             WHEN bu.name IS NOT NULL THEN 'same_dir'
+             ELSE 'unverified' END AS strategy
+      FROM calls c
+      LEFT JOIN gu ON gu.name = c.name
+      LEFT JOIN (SELECT DISTINCT name, def_conv FROM defs) sc
+        ON sc.name = c.name AND sc.def_conv = c.conv_id
+      LEFT JOIN byuser bu
+        ON bu.name = c.name AND bu.user_prefix = substr(c.conv_id, 1, 11)
+    """),
+    "kg_resolve_entities" -> O(s"""
+      , dict(name, canonical) AS (VALUES ${graft.extract.Dictionary.aliasToCanonical.toSeq.sorted
+        .map { case (a, c) => s"('$a','$c')" }
+        .mkString(", ")}),
+      ments AS (
+        SELECT conv_id, turn_idx, alias AS name FROM enriched
+        UNION ALL
+        SELECT conv_id, turn_idx, 'SparkEngine' FROM enriched WHERE (event_id % 3) = 0
+        UNION ALL
+        SELECT conv_id, turn_idx, alias2 FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
+      )
+      SELECT m.conv_id, m.turn_idx, m.name, d.canonical,
+             CAST(1.0 AS DOUBLE) AS confidence, 'alias_dict' AS strategy
+      FROM ments m JOIN dict d ON d.name = m.name
+    """),
+    "kg_link_api" -> O("""
+      , reqs AS (
+        SELECT conv_id, turn_idx, verb,
+               regexp_replace(path, '/([0-9]+|\{id\})$', '/:param') AS norm_path
+        FROM enriched WHERE role = 'assistant'
+      ), eps AS (
+        SELECT DISTINCT regexp_replace(path, '/([0-9]+|\{id\})$', '/:param') AS norm_path, verb
+        FROM enriched WHERE role = 'tool'
+      )
+      SELECT r.conv_id, r.turn_idx, r.verb, r.norm_path,
+             'endpoint-' || r.norm_path || '-' || r.verb AS endpoint_id
+      FROM reqs r JOIN eps e ON e.norm_path = r.norm_path AND e.verb = r.verb
+    """)
+  )
 }
