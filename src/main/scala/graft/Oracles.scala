@@ -1,0 +1,193 @@
+package graft
+
+import graft.extract.Dictionary
+import graft.sources.Transcripts
+
+/** DuckDB oracle fragments for the graph tables. Mirrors GraphBuild exactly;
+  * kept programmatic (shared sanitize/key builders) so Spark and oracle can't
+  * drift silently. Every query that checks nodes/edges composes
+  * [[withGraph]](body).
+  */
+object Oracles {
+
+  def san(e: String): String = s"lower(regexp_replace($e, '[^a-zA-Z0-9]', '', 'g'))"
+
+  def key4(t: String, n: String, c: String, i: String): String =
+    s"concat_ws('-', ${san(t)}, ${san(n)}, ${san(c)}, ${san(s"CAST($i AS VARCHAR)")})"
+
+  def key5(t: String, n: String, c: String, i: String, v: String): String =
+    s"concat_ws('-', ${key4(t, n, c, i)}, ${san(v)})"
+
+  val dictValues: String = Dictionary.aliasToCanonical.toSeq.sorted
+    .map { case (a, c) => s"('$a','$c')" }
+    .mkString(", ")
+
+  val normPath = """regexp_replace(path, '/([0-9]+|\{id\})$', '/:param')"""
+
+  /** Graph CTEs on top of Transcripts.oracleCte (enriched/transcripts). */
+  val graphCte: String = s"""
+, dict(alias_name, canonical) AS (VALUES $dictValues)
+, ments AS (
+    SELECT conv_id, turn_idx, alias AS name FROM enriched
+    UNION ALL
+    SELECT conv_id, turn_idx, 'SparkEngine' FROM enriched WHERE (event_id % 3) = 0
+    UNION ALL
+    SELECT conv_id, turn_idx, alias2 FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
+)
+, rents AS (
+    SELECT m.conv_id, m.turn_idx, m.name, d.canonical
+    FROM ments m JOIN dict d ON d.alias_name = m.name
+)
+, calls AS (
+    SELECT conv_id, turn_idx, alias2 || '_handler' AS name
+    FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
+)
+, defs AS (
+    SELECT DISTINCT alias || '_handler' AS name, conv_id AS def_conv
+    FROM enriched WHERE role = 'tool'
+)
+, gu AS (
+    SELECT name, min(def_conv) AS resolved_conv
+    FROM defs GROUP BY name HAVING count(DISTINCT def_conv) = 1
+)
+, byuser AS (
+    SELECT name, substr(def_conv, 1, 11) AS user_prefix, min(def_conv) AS resolved_conv
+    FROM defs GROUP BY 1, 2
+)
+, rcalls AS (
+    SELECT c.conv_id, c.turn_idx, c.name,
+      CASE WHEN gu.name IS NOT NULL THEN gu.resolved_conv
+           WHEN sc.name IS NOT NULL THEN c.conv_id
+           WHEN bu.name IS NOT NULL THEN bu.resolved_conv
+           ELSE 'unverified' END AS resolved_conv,
+      CAST(CASE WHEN gu.name IS NOT NULL THEN 0.90
+           WHEN sc.name IS NOT NULL THEN 0.85
+           WHEN bu.name IS NOT NULL THEN 0.45
+           ELSE 0.35 END AS DOUBLE) AS confidence,
+      CASE WHEN gu.name IS NOT NULL THEN 'global_unique'
+           WHEN sc.name IS NOT NULL THEN 'same_conv'
+           WHEN bu.name IS NOT NULL THEN 'same_dir'
+           ELSE 'unverified' END AS strategy
+    FROM calls c
+    LEFT JOIN gu ON gu.name = c.name
+    LEFT JOIN (SELECT DISTINCT name, def_conv FROM defs) sc
+      ON sc.name = c.name AND sc.def_conv = c.conv_id
+    LEFT JOIN byuser bu
+      ON bu.name = c.name AND bu.user_prefix = substr(c.conv_id, 1, 11)
+)
+, fn_nodes AS (
+    SELECT alias || '_handler' AS name, conv_id, min(turn_idx) AS turn_idx
+    FROM enriched WHERE role = 'tool' GROUP BY 1, 2
+)
+, ep_ids AS (
+    SELECT DISTINCT $normPath AS name, verb FROM enriched WHERE role = 'tool'
+)
+, imports AS (
+    SELECT conv_id, min(turn_idx) AS turn_idx,
+           string_agg(tool, chr(10) ORDER BY turn_idx) AS body
+    FROM transcripts WHERE tool IS NOT NULL GROUP BY conv_id
+)
+, nodes0 AS (
+    SELECT 'Corpus' AS node_type, 'corpus' AS name, '' AS conv_id, -1 AS turn_idx, '' AS body,
+           ${key4("'Corpus'", "'corpus'", "''", "-1")} AS node_key
+    UNION ALL
+    SELECT 'Conversation', conv_id, conv_id, -1, '',
+           ${key4("'Conversation'", "conv_id", "conv_id", "-1")}
+    FROM (SELECT DISTINCT conv_id FROM transcripts)
+    UNION ALL
+    SELECT 'Turn', 'turn-' || CAST(turn_idx AS VARCHAR), conv_id, turn_idx, text,
+           ${key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")}
+    FROM transcripts
+    UNION ALL
+    SELECT 'Role', role, '', -1, '', ${key4("'Role'", "role", "''", "-1")}
+    FROM (SELECT DISTINCT role FROM transcripts)
+    UNION ALL
+    SELECT 'Tool', tool, '', -1, '', ${key4("'Tool'", "tool", "''", "-1")}
+    FROM (SELECT DISTINCT tool FROM transcripts WHERE tool IS NOT NULL)
+    UNION ALL
+    SELECT 'Entity', canonical, '', -1, '', ${key4("'Entity'", "canonical", "''", "-1")}
+    FROM (SELECT DISTINCT canonical FROM rents)
+    UNION ALL
+    SELECT 'Function', name, conv_id, turn_idx, '',
+           ${key4("'Function'", "name", "conv_id", "turn_idx")}
+    FROM fn_nodes
+    UNION ALL
+    SELECT 'Function', name, 'unverified', -1, '',
+           ${key4("'Function'", "name", "'unverified'", "-1")}
+    FROM (SELECT DISTINCT name FROM rcalls WHERE strategy = 'unverified')
+    UNION ALL
+    SELECT 'Endpoint', name, '', -1, '', ${key5("'Endpoint'", "name", "''", "-1", "verb")}
+    FROM ep_ids
+    UNION ALL
+    SELECT 'Request', replace(path, '{id}', '$$' || '{id}'), conv_id, turn_idx, '',
+           ${key4("'Request'", "replace(path, '{id}', '$$' || '{id}')", "conv_id", "turn_idx")}
+    FROM enriched WHERE role = 'assistant'
+    UNION ALL
+    SELECT 'Import', 'imports', conv_id, turn_idx, body,
+           ${key4("'Import'", "'imports'", "conv_id", "turn_idx")}
+    FROM imports
+)
+, nodes AS (
+    SELECT *, sha256(node_key) AS ref_id FROM nodes0
+)
+, edges0 AS (
+    SELECT 'CONTAINS' AS edge_type,
+           ${key4("'Corpus'", "'corpus'", "''", "-1")} AS src_key,
+           ${key4("'Conversation'", "conv_id", "conv_id", "-1")} AS dst_key,
+           CAST(1.0 AS DOUBLE) AS confidence, 'spine' AS strategy
+    FROM (SELECT DISTINCT conv_id FROM transcripts)
+    UNION ALL
+    SELECT 'CONTAINS', ${key4("'Conversation'", "conv_id", "conv_id", "-1")},
+           ${key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")},
+           CAST(1.0 AS DOUBLE), 'spine'
+    FROM transcripts
+    UNION ALL
+    SELECT 'OF', ${key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")},
+           ${key4("'Role'", "role", "''", "-1")}, CAST(1.0 AS DOUBLE), 'spine'
+    FROM transcripts
+    UNION ALL
+    SELECT 'USES', ${key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")},
+           ${key4("'Tool'", "tool", "''", "-1")}, CAST(1.0 AS DOUBLE), 'tool_column'
+    FROM transcripts WHERE tool IS NOT NULL
+    UNION ALL
+    SELECT 'MENTIONS', ${key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")},
+           ${key4("'Entity'", "canonical", "''", "-1")}, CAST(1.0 AS DOUBLE), 'alias_dict'
+    FROM rents
+    UNION ALL
+    SELECT 'CALLS', ${key4("'Turn'", "'turn-' || CAST(r.turn_idx AS VARCHAR)", "r.conv_id", "r.turn_idx")},
+           CASE WHEN f.name IS NULL
+                THEN ${key4("'Function'", "r.name", "'unverified'", "-1")}
+                ELSE ${key4("'Function'", "r.name", "f.conv_id", "f.turn_idx")} END,
+           r.confidence, r.strategy
+    FROM rcalls r LEFT JOIN fn_nodes f ON f.name = r.name AND f.conv_id = r.resolved_conv
+    UNION ALL
+    SELECT DISTINCT 'HANDLER', ${key5("'Endpoint'", normPath, "''", "-1", "verb")},
+           ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")},
+           CAST(1.0 AS DOUBLE), 'handler'
+    FROM enriched e JOIN fn_nodes f
+      ON f.name = e.alias || '_handler' AND f.conv_id = e.conv_id
+    WHERE e.role = 'tool'
+    UNION ALL
+    SELECT 'CALLS', ${key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")},
+           ${key4("'Request'", "replace(path, '{id}', '$$' || '{id}')", "conv_id", "turn_idx")},
+           CAST(1.0 AS DOUBLE), 'request_in_turn'
+    FROM enriched WHERE role = 'assistant'
+    UNION ALL
+    SELECT 'CALLS',
+           ${key4("'Request'", "r.req_path", "r.conv_id", "r.turn_idx")},
+           ${key5("'Endpoint'", "r.norm_path", "''", "-1", "r.verb")},
+           CAST(1.0 AS DOUBLE), 'api_link'
+    FROM (SELECT conv_id, turn_idx, verb, $normPath AS norm_path,
+                 replace(path, '{id}', '$$' || '{id}') AS req_path
+          FROM enriched WHERE role = 'assistant') r
+    JOIN ep_ids e ON e.name = r.norm_path AND e.verb = r.verb
+)
+, edges AS (
+    -- duplicate (edge_type, src, dst) rows always carry identical payloads
+    -- (see GraphBuild Scaladoc), so set-dedup matches dropDuplicates
+    SELECT DISTINCT edge_type, src_key, dst_key, confidence, strategy FROM edges0
+)"""
+
+  def withGraph(body: String): String =
+    Transcripts.oracleCte + graphCte + "\n" + body
+}

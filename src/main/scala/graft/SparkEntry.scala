@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.extract.Mentions
+import graft.graphstore.GraphOps
 import graft.link.PathNorm
+import graft.pipeline.GraphBuild
+import graft.query.Query
 import graft.resolve.CallResolver
 import graft.sources.Transcripts
 
@@ -31,6 +34,21 @@ object SparkEntry {
 
   private def mentionsOf(s: SparkSession, dir: String): DataFrame =
     Mentions.extract(Transcripts.fromEvents(s, dir))
+
+  // one graph build per (session, sfDir) within a Verify/Bench run
+  private val graphCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraphBuild.Graph]
+  private def graphOf(s: SparkSession, dir: String): GraphBuild.Graph =
+    graphCache.getOrElseUpdate(
+      (s, dir), {
+        val g = GraphBuild.build(s, Transcripts.fromEvents(s, dir))
+        // eager localCheckpoint: collapses the (large) build plan to a
+        // LogicalRDD leaf so every downstream query plans/executes against
+        // materialized tables — without it, iterative consumers (pagerank,
+        // BFS) re-analyze the full build tree per iteration
+        GraphBuild.Graph(g.nodes.localCheckpoint(), g.edges.localCheckpoint(), g.mentions)
+      }
+    )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3 corpus scan + normalization: the input table itself, proving
@@ -64,6 +82,87 @@ object SparkEntry {
         m.where(col("mention_type") === "Request"),
         m.where(col("mention_type") === "Endpoint")
       )
+    },
+
+    // D1/D2/D9–D12 + A6 MERGE: the materialized node table
+    "kg_nodes" -> ((s, dir) => graphOf(s, dir).nodes),
+    // D13 add_calls + spine/linker edges: the (subj, pred, obj) edge table
+    "kg_edges" -> ((s, dir) => graphOf(s, dir).edges),
+    // D23 get_graph_size
+    "kg_graph_size" -> { (s, dir) =>
+      val g = graphOf(s, dir); GraphOps.graphSize(g.nodes, g.edges)
+    },
+    // D6 find_nodes_with_edge_type (Turn -MENTIONS-> Entity)
+    "kg_nodes_with_edge_type" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      GraphOps.findNodesWithEdgeType(g.nodes, g.edges, "Turn", "Entity", "MENTIONS")
+    },
+    // D7 count_edges_of_type
+    "kg_count_edges" -> ((s, dir) => {
+      val g = graphOf(s, dir); GraphOps.countEdgesByType(g.edges)
+    }),
+    // D4 lookup family: name-contains filter
+    "kg_find_functions_contains" -> ((s, dir) =>
+      GraphOps.findNodesNameContains(graphOf(s, dir).nodes, "Function", "gres")
+        .select("node_key", "name", "conv_id", "turn_idx")),
+    // D8 reverse edge lookup: who points at Entity 'spark'
+    "kg_find_sources" -> ((s, dir) => {
+      val g = graphOf(s, dir); GraphOps.findSources(g.nodes, g.edges, "Entity", "spark")
+    }),
+    // D19 prune candidates: never-called functions (anti-join)
+    "kg_uncalled_functions" -> ((s, dir) => {
+      val g = graphOf(s, dir); GraphOps.uncalledFunctions(g.nodes, g.edges)
+    }),
+    // D21 create_filtered_graph: rev-scoped node subset
+    "kg_filtered_nodes" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val convs = Transcripts
+        .fromEvents(s, dir)
+        .select("conv_id")
+        .where(col("conv_id").startsWith("conv-000001-"))
+        .distinct()
+      GraphOps.filteredGraph(g.nodes, g.edges, convs)._1.select("node_key", "node_type", "name")
+    },
+    // G13/H1 changes: node-key diff between two snapshots (ts cutoff)
+    "kg_changes" -> { (s, dir) =>
+      val t = Transcripts.fromEvents(s, dir)
+      val cutoff = lit("2024-01-08").cast("timestamp")
+      val before = GraphBuild.spineNodes(s, t).where(col("node_type") === "Turn")
+      val after = GraphBuild.spineNodes(s, t.where(col("ts") < cutoff))
+        .where(col("node_type") === "Turn")
+      GraphOps.changedKeys(before, after)
+    },
+    // G6/G7 subtree BFS (CONTAINS spine, depth 2, min-depth semantics)
+    "kg_subtree" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val start = g.nodes.where(col("node_type") === "Corpus").select("node_key")
+      Query.expand(g.edges, start, 2, Seq("CONTAINS"))
+    },
+    // G12 impact: reverse closure from Entity 'spark', depth 2
+    "kg_impact" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val start = g.nodes
+        .where(col("node_type") === "Entity" && col("name") === "spark")
+        .select("node_key")
+      Query.expand(g.edges, start, 2, Nil, reverse = true)
+    },
+    // G3 CLI search scoring, top-10 deterministic
+    "kg_search" -> ((s, dir) => Query.search(graphOf(s, dir).nodes, "postgres", 10)),
+    // G11 coverage
+    "kg_coverage" -> ((s, dir) => {
+      val g = graphOf(s, dir); Query.coverage(g.nodes, g.edges)
+    }),
+    // G10 pagerank over the projected Request->Endpoint->Function graph
+    // (no SQL oracle — iterative; rows-only check + PageRankSpec)
+    "kg_pagerank" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val proj = g.nodes.where(col("node_type").isin("Request", "Endpoint", "Function"))
+      val projKeys = proj.select("node_key")
+      val projEdges = g.edges
+        .where(col("edge_type").isin("CALLS", "HANDLER"))
+        .join(projKeys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
+        .join(projKeys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
+      Query.pagerank(proj, projEdges).withColumn("rank", round(col("rank"), 6))
     }
   )
 
@@ -150,15 +249,102 @@ object SparkEntry {
     "kg_link_api" -> O("""
       , reqs AS (
         SELECT conv_id, turn_idx, verb,
-               regexp_replace(path, '/([0-9]+|\{id\})$', '/:param') AS norm_path
+               regexp_replace(path, '/([0-9]+|\{id\})$', '/:param') AS norm_path,
+               replace(path, '{id}', '$' || '{id}') AS req_path
         FROM enriched WHERE role = 'assistant'
       ), eps AS (
         SELECT DISTINCT regexp_replace(path, '/([0-9]+|\{id\})$', '/:param') AS norm_path, verb
         FROM enriched WHERE role = 'tool'
       )
       SELECT r.conv_id, r.turn_idx, r.verb, r.norm_path,
-             'endpoint-' || r.norm_path || '-' || r.verb AS endpoint_id
+             'endpoint-' || r.norm_path || '-' || r.verb AS endpoint_id,
+             r.req_path
       FROM reqs r JOIN eps e ON e.norm_path = r.norm_path AND e.verb = r.verb
+    """),
+    "kg_nodes" -> Oracles.withGraph(
+      "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id FROM nodes"
+    ),
+    "kg_edges" -> Oracles.withGraph(
+      "SELECT edge_type, src_key, dst_key, confidence, strategy FROM edges"
+    ),
+    "kg_graph_size" -> Oracles.withGraph("""
+      SELECT 'node:' || node_type AS kind, count(*) AS n FROM nodes GROUP BY 1
+      UNION ALL
+      SELECT 'edge:' || edge_type, count(*) FROM edges GROUP BY 1
+    """),
+    "kg_nodes_with_edge_type" -> Oracles.withGraph("""
+      SELECT DISTINCT 'turn-' || CAST(turn_idx AS VARCHAR) AS src_name,
+             conv_id AS src_conv, turn_idx AS src_turn, canonical AS dst_name
+      FROM rents
+    """),
+    "kg_count_edges" -> Oracles.withGraph(
+      "SELECT edge_type, count(*) AS n FROM edges GROUP BY 1"
+    ),
+    "kg_find_functions_contains" -> Oracles.withGraph("""
+      SELECT node_key, name, conv_id, turn_idx FROM nodes
+      WHERE node_type = 'Function' AND name LIKE '%gres%'
+    """),
+    "kg_find_sources" -> Oracles.withGraph(s"""
+      SELECT DISTINCT edge_type, src_key FROM edges
+      WHERE dst_key = ${Oracles.key4("'Entity'", "'spark'", "''", "-1")}
+    """),
+    "kg_uncalled_functions" -> Oracles.withGraph("""
+      SELECT node_key, name, conv_id, turn_idx FROM nodes n
+      WHERE node_type = 'Function'
+        AND NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.edge_type = 'CALLS' AND e.dst_key = n.node_key)
+    """),
+    "kg_filtered_nodes" -> Oracles.withGraph("""
+      SELECT node_key, node_type, name FROM nodes
+      WHERE conv_id LIKE 'conv-000001-%' OR conv_id = ''
+    """),
+    "kg_changes" -> O(s"""
+      SELECT ${Oracles.key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")} AS node_key
+      FROM transcripts WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    """),
+    "kg_subtree" -> Oracles.withGraph(s"""
+      , walk(node_key, depth) AS (
+        SELECT ${Oracles.key4("'Corpus'", "'corpus'", "''", "-1")}, 0
+        UNION
+        SELECT e.dst_key, w.depth + 1
+        FROM walk w JOIN edges e ON e.src_key = w.node_key AND e.edge_type = 'CONTAINS'
+        WHERE w.depth < 2
+      )
+      SELECT node_key, min(depth) AS depth FROM walk GROUP BY node_key
+    """),
+    "kg_impact" -> Oracles.withGraph(s"""
+      , rwalk(node_key, depth) AS (
+        SELECT ${Oracles.key4("'Entity'", "'spark'", "''", "-1")}, 0
+        UNION
+        SELECT e.src_key, w.depth + 1
+        FROM rwalk w JOIN edges e ON e.dst_key = w.node_key
+        WHERE w.depth < 2
+      )
+      SELECT node_key, min(depth) AS depth FROM rwalk GROUP BY node_key
+    """),
+    "kg_search" -> Oracles.withGraph("""
+      SELECT node_key, node_type, name, score FROM (
+        SELECT node_key, node_type, name, CAST(
+          (CASE WHEN lower(name) = 'postgres' THEN 100 ELSE 0 END) +
+          (CASE WHEN lower(name) LIKE 'postgres%' AND lower(name) <> 'postgres' THEN 70 ELSE 0 END) +
+          (CASE WHEN lower(name) LIKE '%postgres%' AND lower(name) NOT LIKE 'postgres%' THEN 50 ELSE 0 END) +
+          (CASE WHEN lower(body) LIKE '%postgres%' THEN 25 ELSE 0 END) +
+          (CASE WHEN lower(conv_id) LIKE '%postgres%' THEN 20 ELSE 0 END) AS INTEGER) AS score
+        FROM nodes
+      ) WHERE score > 0
+      ORDER BY score DESC, node_key
+      LIMIT 10
+    """),
+    "kg_coverage" -> Oracles.withGraph("""
+      SELECT total_functions, called_functions,
+             CAST(called_functions AS DOUBLE) / CAST(total_functions AS DOUBLE) AS coverage
+      FROM (
+        SELECT
+          (SELECT count(*) FROM nodes WHERE node_type = 'Function') AS total_functions,
+          (SELECT count(*) FROM nodes n WHERE n.node_type = 'Function'
+             AND EXISTS (SELECT 1 FROM edges e
+                         WHERE e.edge_type = 'CALLS' AND e.dst_key = n.node_key)) AS called_functions
+      )
     """)
   )
 }

@@ -1,0 +1,120 @@
+package graft.canon
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Canonicalization — alias merging beyond exact keys (north rule; the
+  * reference only collapses EXACT canonical keys via MERGE, utils.rs:82-136,
+  * so this stage GENERALIZES its F1/F2 identity semantics — SURVEY.md §2.F):
+  *
+  *   character-3-gram shingles -> MinHash signatures -> LSH band buckets ->
+  *   candidate pairs -> exact-Jaccard scoring -> iterative-DataFrame
+  *   connected components -> cluster labels.
+  *
+  * Portability trick: MinHash seed-i of a shingle set is
+  * `min(md5(i || ':' || shingle))` — min over hex STRINGS. md5 is identical
+  * everywhere, string min is byte order, so signatures are reproducible in
+  * the DuckDB oracle with zero numeric-hash drift. At scale the min-
+  * aggregation is a partial (map-side) aggregate and LSH banding turns the
+  * quadratic all-pairs problem into an equi-join on band keys; candidate
+  * scoring joins only within buckets.
+  */
+object Canon {
+
+  val K = 8 // minhash signature length
+  val BANDS = 4 // 4 bands x 2 rows
+
+  /** (name) -> (name, shingle): distinct lowercase character 3-grams. */
+  def shingles(names: DataFrame): DataFrame =
+    names
+      .select(col("name"), lower(col("name")).as("lname"))
+      .where(length(col("lname")) >= 3)
+      .select(
+        col("name"),
+        explode(
+          expr("transform(sequence(1, length(lname) - 2), i -> substr(lname, i, 3))")
+        ).as("shingle")
+      )
+      .distinct()
+
+  /** MinHash signature: K md5-min columns -> BANDS band keys. Output:
+    * (name, band_idx, band_key).
+    */
+  def bands(sh: DataFrame): DataFrame = {
+    val aggs = (0 until K).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("shingle")).cast("binary"))).as(s"h$i")
+    )
+    val mins = sh.groupBy("name").agg(aggs.head, aggs.tail: _*)
+    val rowsPerBand = K / BANDS
+    val bandCols = (0 until BANDS).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), concat_ws("|", parts: _*).as("band_key"))
+    }
+    mins
+      .select(col("name"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("name"), col("bk.band_idx"), col("bk.band_key"))
+  }
+
+  /** LSH-blocked candidate pairs with exact Jaccard >= `minJaccard`.
+    * Pairs ordered name_a < name_b; Jaccard from distinct-shingle counts.
+    */
+  def candidatePairs(names: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(names).cache()
+    val b = bands(sh)
+    val cand = b
+      .as("x")
+      .join(b.as("y"), Seq("band_idx", "band_key"))
+      .where(col("x.name") < col("y.name"))
+      .select(col("x.name").as("name_a"), col("y.name").as("name_b"))
+      .distinct()
+    val sizes = sh.groupBy("name").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("name").as("name_a"), col("shingle"))
+    val shB = sh.select(col("name").as("name_b"), col("shingle"))
+    val inter = cand
+      .join(shA, Seq("name_a"))
+      .join(shB, Seq("name_b", "shingle"))
+      .groupBy("name_a", "name_b")
+      .agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("name_a", "name_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("name", "name_a").withColumnRenamed("n", "na"), Seq("name_a"))
+      .join(sizes.withColumnRenamed("name", "name_b").withColumnRenamed("n", "nb"), Seq("name_b"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double")
+      )
+      .where(col("jaccard") >= minJaccard)
+      .select("name_a", "name_b", "jaccard")
+  }
+
+  /** Iterative-DataFrame connected components: smallest-label propagation
+    * over undirected pair edges until fixpoint (north rule; SURVEY.md §7.5
+    * item 3 — localCheckpoint per iteration, convergence-count loop).
+    * Output: (name, cluster) where cluster = min name in the component.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val bi = pairs
+      .select(col("name_a").as("src"), col("name_b").as("dst"))
+      .unionByName(pairs.select(col("name_b").as("src"), col("name_a").as("dst")))
+      .cache()
+    var labels = vertices.select(col("name"), col("name").as("cluster")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val msgs = labels
+        .join(bi, labels("name") === bi("src"))
+        .groupBy(col("dst").as("name"))
+        .agg(min("cluster").as("nbr_min"))
+      val next = labels
+        .join(msgs, Seq("name"), "left")
+        .withColumn("new_cluster", least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))))
+        .select(col("name"), col("new_cluster").as("cluster"), col("cluster").as("old"))
+        .localCheckpoint()
+      changed = next.where(col("cluster") =!= col("old")).count()
+      labels = next.select("name", "cluster")
+      it += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,108 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding: array<float>, label).
+  *
+  *  - [[bruteTopKDot]]: exact top-k by inner product, integer-quantized
+  *    (floor(x*1000)) so Spark and the DuckDB oracle agree bit-for-bit —
+  *    float dot products differ in last-ulp across engines and would flip
+  *    near-tie rankings.
+  *  - [[bruteTopKCosine]]: true float cosine via zip_with/aggregate HOFs
+  *    (codegen'd, no UDF) — the correctness baseline for the IVF path.
+  *  - [[ivfTopK]]: the scale path — coarse IVF quantization: assign every
+  *    vector to its nearest of `nCentroids` deterministic centroids (the
+  *    first vectors by vec_id), probe only the query's cell. At 100 TB the
+  *    cell assignment is a broadcast join + one shuffle by cell id, and
+  *    probing touches 1/nCentroids of the data.
+  */
+object Ann {
+
+  private def dotInt(a: String, b: String) =
+    expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(floor(x*1000) AS BIGINT) * CAST(floor(y*1000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+  private def cosine(a: String, b: String) =
+    expr(
+      s"""aggregate(zip_with($a, $b, (x, y) -> struct(CAST(x*y AS DOUBLE) AS xy, CAST(x*x AS DOUBLE) AS xx, CAST(y*y AS DOUBLE) AS yy)),
+         |struct(CAST(0.0 AS DOUBLE) AS xy, CAST(0.0 AS DOUBLE) AS xx, CAST(0.0 AS DOUBLE) AS yy),
+         |(acc, v) -> struct(acc.xy + v.xy AS xy, acc.xx + v.xx AS xx, acc.yy + v.yy AS yy),
+         |acc -> acc.xy / (sqrt(acc.xx) * sqrt(acc.yy)))""".stripMargin.replace("\n", " ")
+    )
+
+  /** Exact top-k per query vector by quantized inner product; queries =
+    * vec_id < nQueries. Deterministic tie-break (score desc, vec_id asc).
+    */
+  def bruteTopKDot(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = q
+      .crossJoin(emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("score", dotInt("qv", "cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
+  /** Exact top-k per query by float cosine (HOF pipeline, no UDF). */
+  def bruteTopKCosine(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = q
+      .crossJoin(emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine("qv", "cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
+  /** IVF-style bucketed ANN: centroids = first `nCentroids` vectors by
+    * vec_id (deterministic, quantized scores); every vector is assigned to
+    * its max-inner-product centroid; each query probes only its own cell.
+    */
+  def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+    val cents = emb
+      .where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", dotInt("embedding", "centv"))
+      .withColumn(
+        "arank",
+        row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("centroid_id"))
+        )
+      )
+      .where(col("arank") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+      .cache()
+    val q = assigned
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    val scored = q
+      .join(
+        assigned.select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("cell")),
+        Seq("cell")
+      )
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("score", dotInt("qv", "cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "cell", "cand_id", "score", "rank")
+  }
+}

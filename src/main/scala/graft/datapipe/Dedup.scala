@@ -1,0 +1,132 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for large-scale training-data pipelines,
+  * over the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Exact dedup is a hash group-by; near-dup uses the same portable
+  * md5-MinHash machinery as [[graft.canon.Canon]] but over word shingles.
+  * At 100 TB: the md5-min signature is a partial aggregate (map-side
+  * combine), band buckets bound join fan-out, and no stage ever joins the
+  * full text — only (doc_id, shingle) projections.
+  */
+object DocDedup {
+
+  /** Exact dedup: keep min doc_id per md5(text); emit survivors with their
+    * duplicate counts (groupBy-hash — the classic exact pass).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** (doc_id, shingle): distinct word `n`-gram shingles of lowercased text. */
+  def wordShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)), " +
+              s"i -> array_join(slice(toks, i, $n), ' '))"
+          )
+        ).as("shingle")
+      )
+      .distinct()
+
+  /** MinHash signatures (K md5-min strings) per document. */
+  def minhash(sh: DataFrame, k: Int = 8): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("shingle")).cast("binary"))).as(s"h$i")
+    )
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs (band collision) with exact shingle-Jaccard. */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double, k: Int = 8, bands: Int = 4): DataFrame = {
+    val sh = wordShingles(docs).cache()
+    val sig = minhash(sh, k)
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("band_key")
+      )
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val cand = banded
+      .as("x")
+      .join(banded.as("y"), Seq("band_idx", "band_key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cand
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double")
+      )
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash (32-bit) per document as a '0'/'1' bit-string — bit j is the
+    * majority vote of md5-hex-char parities across word tokens. Bit-string
+    * output keeps the oracle portable (no cross-engine integer-hash drift).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val voteAggs = (0 until 32).map { j =>
+      // hex char parity -> ±1 vote
+      sum(
+        when(expr(s"strpos('13579bdf', substr(h, ${j + 1}, 1)) > 0"), 1).otherwise(-1)
+      ).as(s"b$j")
+    }
+    val votes = toks.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    votes.select(
+      col("doc_id"),
+      concat((0 until 32).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*)
+        .as("simhash_bits")
+    )
+  }
+
+  /** N-gram-Jaccard near-dup without LSH (the exact quadratic baseline,
+    * bounded by an inverted-index join — for parity testing the LSH path).
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = wordShingles(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh
+      .as("x")
+      .join(sh.as("y"), Seq("shingle"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double")
+      )
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.graphstore
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-store operator surface — re-expression of the reference's `Graph`
+  * trait (ast/src/lang/graphs/graph.rs:11-209; BTreeMap impl cited per-op).
+  * All lookups are declarative filters/joins over the materialized node/edge
+  * tables: partition pruning on node_type + predicate pushdown replace the
+  * reference's BTreeMap key-prefix range scans (btreemap_graph.rs:81-114).
+  */
+object GraphOps {
+
+  /** D3 find_nodes_by_name (btreemap_graph.rs:81-94). */
+  def findNodesByName(nodes: DataFrame, nodeType: String, name: String): DataFrame =
+    nodes.where(col("node_type") === nodeType && col("name") === name)
+
+  /** D4 lookup family (graph.rs:117-204): suffix / substring / range. */
+  def findNodesNameContains(nodes: DataFrame, nodeType: String, sub: String): DataFrame =
+    nodes.where(col("node_type") === nodeType && col("name").contains(sub))
+
+  def findNodeInRange(nodes: DataFrame, convId: String, lo: Int, hi: Int): DataFrame =
+    nodes.where(col("conv_id") === convId && col("turn_idx").between(lo, hi))
+
+  /** D5 find_nodes_by_type (btreemap_graph.rs:978-985). */
+  def findNodesByType(nodes: DataFrame, nodeType: String): DataFrame =
+    nodes.where(col("node_type") === nodeType)
+
+  /** D6 find_nodes_with_edge_type (btreemap_graph.rs:987-1010):
+    * (srcType, dstType, edgeType) -> joined (src, dst) node pairs.
+    */
+  def findNodesWithEdgeType(
+      nodes: DataFrame,
+      edges: DataFrame,
+      srcType: String,
+      dstType: String,
+      edgeType: String
+  ): DataFrame = {
+    val src = nodes
+      .where(col("node_type") === srcType)
+      .select(
+        col("node_key").as("src_key"),
+        col("name").as("src_name"),
+        col("conv_id").as("src_conv"),
+        col("turn_idx").as("src_turn")
+      )
+    val dst = nodes
+      .where(col("node_type") === dstType)
+      .select(col("node_key").as("dst_key"), col("name").as("dst_name"))
+    edges
+      .where(col("edge_type") === edgeType)
+      .join(src, "src_key")
+      .join(dst, "dst_key")
+      .select("src_name", "src_conv", "src_turn", "dst_name")
+  }
+
+  /** D7 count_edges_of_type (btreemap_graph.rs:1011-1019). */
+  def countEdgesByType(edges: DataFrame): DataFrame =
+    edges.groupBy("edge_type").agg(count(lit(1)).as("n"))
+
+  /** D8 find_source_edge_by_name_and_file (btreemap_graph.rs:217-237):
+    * reverse lookup — who points at nodes named `dstName` of `dstType`.
+    */
+  def findSources(
+      nodes: DataFrame,
+      edges: DataFrame,
+      dstType: String,
+      dstName: String
+  ): DataFrame = {
+    val dst = nodes
+      .where(col("node_type") === dstType && col("name") === dstName)
+      .select(col("node_key").as("dst_key"))
+    edges
+      .join(dst, "dst_key")
+      .select("edge_type", "src_key")
+      .distinct()
+  }
+
+  /** D19-flavored prune candidates (btreemap_graph.rs:756-885): Function
+    * nodes with no incoming CALLS edge (never called). Left-anti join — the
+    * whole prune is two anti-joins at scale, no driver loop.
+    */
+  def uncalledFunctions(nodes: DataFrame, edges: DataFrame): DataFrame =
+    nodes
+      .where(col("node_type") === "Function")
+      .join(
+        edges.where(col("edge_type") === "CALLS").select(col("dst_key").as("node_key")),
+        Seq("node_key"),
+        "left_anti"
+      )
+      .select("node_key", "name", "conv_id", "turn_idx")
+
+  /** D21 create_filtered_graph (btreemap_graph.rs:141-164): keep nodes whose
+    * conv_id ∈ filter + edges with both ends kept (semi-joins).
+    */
+  def filteredGraph(
+      nodes: DataFrame,
+      edges: DataFrame,
+      convFilter: DataFrame
+  ): (DataFrame, DataFrame) = {
+    val kept = nodes
+      .join(convFilter, Seq("conv_id"), "left_semi")
+      .unionByName(nodes.where(col("conv_id") === ""))
+    val keptKeys = kept.select(col("node_key"))
+    val keptEdges = edges
+      .join(keptKeys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
+      .join(keptKeys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
+    (kept, keptEdges)
+  }
+
+  /** D23 get_graph_size / key sets: per-type counts for parity checks. */
+  def graphSize(nodes: DataFrame, edges: DataFrame): DataFrame =
+    nodes
+      .groupBy(col("node_type").as("kind"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("kind", concat(lit("node:"), col("kind")))
+      .unionByName(
+        edges
+          .groupBy(col("edge_type").as("kind"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("kind", concat(lit("edge:"), col("kind")))
+      )
+
+  /** G13 changes (cli/src/changes.rs; gat.rs:4 get_changed_files): key-set
+    * difference between two node snapshots.
+    */
+  def changedKeys(before: DataFrame, after: DataFrame): DataFrame =
+    before.select("node_key").exceptAll(after.select("node_key"))
+}

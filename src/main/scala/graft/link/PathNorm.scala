@@ -75,7 +75,8 @@ object PathNorm {
         col("turn_idx"),
         col("verb"),
         col("norm_path"),
-        concat_ws("-", lit("endpoint"), col("norm_path"), col("verb")).as("endpoint_id")
+        concat_ws("-", lit("endpoint"), col("norm_path"), col("verb")).as("endpoint_id"),
+        col("path").as("req_path")
       )
   }
 }

@@ -1,0 +1,237 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.Mentions
+import graft.functions.Keys
+import graft.link.PathNorm
+import graft.resolve.CallResolver
+import graft.schema.{EdgeTypes, NodeTypes}
+
+/** Graph materialization — the transcript analog of the reference's
+  * 15-stage `build_graph` pipeline (ast/src/builder/core.rs:48-235) fused
+  * into declarative Dataset transforms:
+  *
+  *  stages 1–3  (repository/directory/file spine)  -> [[spineNodes]]
+  *  stages 5–14 (extraction passes)                -> Mentions.extract (ONE
+  *               fused scan — the reference re-scans every file per stage;
+  *               SURVEY.md §3.1 notes they fuse on Spark)
+  *  stage 15    (resolution + linking)             -> CallResolver + PathNorm
+  *  Neo4j MERGE upload                             -> dedup-by-key + write
+  *               (dropDuplicates(node_key) ≡ MERGE, A6)
+  *
+  * Node identity follows create_node_key (utils.rs:82-136); function nodes
+  * dedup to their first definition turn per conversation (the reference
+  * dedups by NodeKeys, lang/mod.rs:624-640).
+  *
+  * Scale notes: every per-turn table is keyed by conv_id so the spine,
+  * mention, and same-conv resolution work shuffle conv-locally; only the
+  * (much smaller) entity/function dimension tables shuffle globally, and
+  * the dictionary + endpoint-index joins are broadcast.
+  */
+object GraphBuild {
+
+  final case class Graph(nodes: DataFrame, edges: DataFrame, mentions: DataFrame)
+
+  private val nullConf: Column = lit(1.0)
+
+  private def node(
+      nodeType: Column,
+      name: Column,
+      convId: Column,
+      turnIdx: Column,
+      body: Column,
+      verb: Column
+  ): Seq[Column] = {
+    val key = when(verb.isNull, Keys.nodeKey(nodeType, name, convId, turnIdx))
+      .otherwise(Keys.nodeKeyWithVerb(nodeType, name, convId, turnIdx, verb))
+    Seq(
+      nodeType.as("node_type"),
+      name.as("name"),
+      convId.as("conv_id"),
+      turnIdx.as("turn_idx"),
+      body.as("body"),
+      key.as("node_key"),
+      Keys.refId(key).as("ref_id")
+    )
+  }
+
+  private def mkNodes(df: DataFrame, nodeType: String, name: Column, convId: Column,
+      turnIdx: Column, body: Column = lit(""), verb: Column = lit(null).cast("string")): DataFrame =
+    df.select(node(lit(nodeType), name, convId, turnIdx, body, verb): _*)
+
+  /** Containment spine: Corpus / Conversation / Turn / Role (stages 1–3). */
+  def spineNodes(spark: SparkSession, transcripts: DataFrame): DataFrame = {
+    val corpus = transcripts
+      .limit(1)
+      .select(lit("corpus").as("n"))
+    val convs = transcripts.select(col("conv_id")).distinct()
+    val turns = transcripts.select(col("conv_id"), col("turn_idx"), col("text"))
+    val roles = transcripts.select(col("role")).distinct()
+
+    mkNodes(corpus, NodeTypes.Corpus, col("n"), lit(""), lit(-1))
+      .unionByName(mkNodes(convs, NodeTypes.Conversation, col("conv_id"), col("conv_id"), lit(-1)))
+      .unionByName(
+        mkNodes(
+          turns,
+          NodeTypes.Turn,
+          concat(lit("turn-"), col("turn_idx").cast("string")),
+          col("conv_id"),
+          col("turn_idx"),
+          body = col("text") // per-turn text equality invariant lives here
+        )
+      )
+      .unionByName(mkNodes(roles, NodeTypes.Role, col("role"), lit(""), lit(-1)))
+  }
+
+  /** Full build: nodes + edges + the raw mention table. */
+  def build(spark: SparkSession, transcripts: DataFrame): Graph = {
+    val t = transcripts.cache()
+    val mentions = Mentions.extract(t).cache()
+
+    val entityM = mentions.where(col("mention_type") === "Entity")
+    val fnDefs = mentions.where(col("mention_type") === "FunctionDef")
+    val fnCalls = mentions.where(col("mention_type") === "FunctionCall")
+    val endpoints = mentions.where(col("mention_type") === "Endpoint")
+    val requests = mentions.where(col("mention_type") === "Request")
+    val tools = mentions.where(col("mention_type") === "Tool")
+
+    val resolvedEntities = CallResolver.resolveEntities(spark, entityM)
+    val resolvedCalls = CallResolver.resolveCalls(fnCalls, fnDefs).cache()
+    val apiLinks = PathNorm.linkApi(requests, endpoints)
+
+    // --- nodes ---------------------------------------------------------
+    val spine = spineNodes(spark, t)
+
+    val toolNodes = mkNodes(tools.select(col("name")).distinct(),
+      NodeTypes.Tool, col("name"), lit(""), lit(-1))
+
+    val entityNodes = mkNodes(
+      resolvedEntities.select(col("canonical")).distinct(),
+      NodeTypes.Entity, col("canonical"), lit(""), lit(-1))
+
+    // function node = first definition turn per (name, conversation)
+    val fnNodes0 = fnDefs
+      .groupBy(col("name"), col("conv_id"))
+      .agg(min(col("turn_idx")).as("turn_idx"))
+    val fnNodes = mkNodes(fnNodes0, NodeTypes.Function, col("name"), col("conv_id"), col("turn_idx"))
+
+    // unverified call targets become stub nodes (D13: file "<unverified>")
+    val stubNodes = mkNodes(
+      resolvedCalls.where(col("strategy") === "unverified").select(col("name")).distinct(),
+      NodeTypes.Function, col("name"), lit("unverified"), lit(-1))
+
+    // endpoint identity = (canonical path, verb) after D11 dedup + D14 grouping
+    val epIds = endpoints
+      .select(PathNorm.canonical(PathNorm.normalizeBackend(col("path"))).as("name"), col("verb"))
+      .distinct()
+    val epNodes = mkNodes(epIds, NodeTypes.Endpoint, col("name"), lit(""), lit(-1), verb = col("verb"))
+
+    val reqNodes = mkNodes(requests, NodeTypes.Request, col("name"), col("conv_id"), col("turn_idx"))
+
+    // import section: one node per conversation, tools concatenated in turn
+    // order (B4 combine_import_sections, builder/utils.rs:158-218)
+    val importNodes0 = t
+      .where(col("tool").isNotNull)
+      .groupBy(col("conv_id"))
+      .agg(
+        min(col("turn_idx")).as("turn_idx"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("tool")))),
+            x => x.getField("tool")
+          ),
+          "\n"
+        ).as("body")
+      )
+    val importNodes =
+      mkNodes(importNodes0, NodeTypes.Import, lit("imports"), col("conv_id"), col("turn_idx"),
+        body = col("body"))
+
+    val nodes = Seq(spine, toolNodes, entityNodes, fnNodes, stubNodes, epNodes, reqNodes, importNodes)
+      .reduce(_ unionByName _)
+      .dropDuplicates("node_key") // MERGE semantics (A6)
+
+    // --- edges ---------------------------------------------------------
+    def edge(et: String, src: Column, dst: Column, conf: Column = nullConf,
+        strat: Column = lit("spine")): Seq[Column] =
+      Seq(lit(et).as("edge_type"), src.as("src_key"), dst.as("dst_key"),
+        conf.cast("double").as("confidence"), strat.as("strategy"))
+
+    val corpusKey = Keys.nodeKey(lit(NodeTypes.Corpus), lit("corpus"), lit(""), lit(-1))
+    def convKey(c: Column) = Keys.nodeKey(lit(NodeTypes.Conversation), c, c, lit(-1))
+    def turnKey(c: Column, i: Column) =
+      Keys.nodeKey(lit(NodeTypes.Turn), concat(lit("turn-"), i.cast("string")), c, i)
+    def roleKey(r: Column) = Keys.nodeKey(lit(NodeTypes.Role), r, lit(""), lit(-1))
+    def toolKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Tool), n, lit(""), lit(-1))
+    def entityKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Entity), n, lit(""), lit(-1))
+    def fnKey(n: Column, c: Column, i: Column) = Keys.nodeKey(lit(NodeTypes.Function), n, c, i)
+    def epKey(n: Column, v: Column) =
+      Keys.nodeKeyWithVerb(lit(NodeTypes.Endpoint), n, lit(""), lit(-1), v)
+    def reqKey(n: Column, c: Column, i: Column) = Keys.nodeKey(lit(NodeTypes.Request), n, c, i)
+
+    val containsConv = t.select(col("conv_id")).distinct()
+      .select(edge(EdgeTypes.Contains, corpusKey, convKey(col("conv_id"))): _*)
+    val containsTurn = t
+      .select(edge(EdgeTypes.Contains, convKey(col("conv_id")),
+        turnKey(col("conv_id"), col("turn_idx"))): _*)
+    val ofRole = t
+      .select(edge(EdgeTypes.Of, turnKey(col("conv_id"), col("turn_idx")),
+        roleKey(col("role"))): _*)
+    val usesTool = t
+      .where(col("tool").isNotNull)
+      .select(edge(EdgeTypes.Uses, turnKey(col("conv_id"), col("turn_idx")),
+        toolKey(col("tool")), strat = lit("tool_column")): _*)
+    val mentionsE = resolvedEntities
+      .select(edge(EdgeTypes.Mentions, turnKey(col("conv_id"), col("turn_idx")),
+        entityKey(col("canonical")), col("confidence"), col("strategy")): _*)
+
+    // CALLS: calling turn -> resolved function node (first def turn in the
+    // resolved conversation) or unverified stub (D13 semantics)
+    val fnFirstDef = fnNodes0.select(col("name"), col("conv_id").as("resolved_conv"),
+      col("turn_idx").as("def_turn"))
+    val callsFn = resolvedCalls
+      .join(fnFirstDef, Seq("name", "resolved_conv"), "left")
+      .select(edge(
+        EdgeTypes.Calls,
+        turnKey(col("conv_id"), col("turn_idx")),
+        when(col("def_turn").isNull, fnKey(col("name"), lit("unverified"), lit(-1)))
+          .otherwise(fnKey(col("name"), col("resolved_conv"), col("def_turn"))),
+        col("confidence"), col("strategy")): _*)
+
+    // HANDLER: endpoint identity -> handler function of the declaring turn
+    val handlerE = endpoints
+      .select(
+        PathNorm.canonical(PathNorm.normalizeBackend(col("path"))).as("ep_name"),
+        col("verb"), col("conv_id"), col("turn_idx"))
+      .join(
+        fnDefs.select(col("conv_id"), col("turn_idx"), col("name").as("fn_name")),
+        Seq("conv_id", "turn_idx"))
+      .join(fnFirstDef.withColumnRenamed("resolved_conv", "conv_id")
+          .withColumnRenamed("name", "fn_name"), Seq("fn_name", "conv_id"))
+      .select(edge(EdgeTypes.Handler, epKey(col("ep_name"), col("verb")),
+        fnKey(col("fn_name"), col("conv_id"), col("def_turn")),
+        strat = lit("handler")): _*)
+      .distinct()
+
+    // D9 analog: the turn owning a Request gets CALLS(turn -> request),
+    // as the reference emits CALLS(fn -> request) (btreemap_graph.rs:257-313)
+    val callsReq = requests
+      .select(edge(EdgeTypes.Calls, turnKey(col("conv_id"), col("turn_idx")),
+        reqKey(col("name"), col("conv_id"), col("turn_idx")),
+        strat = lit("request_in_turn")): _*)
+
+    val callsApi = apiLinks
+      .select(edge(EdgeTypes.Calls,
+        reqKey(col("req_path"), col("conv_id"), col("turn_idx")),
+        epKey(col("norm_path"), col("verb")), strat = lit("api_link")): _*)
+
+    val edges = Seq(containsConv, containsTurn, ofRole, usesTool, mentionsE, callsFn, handlerE)
+      .reduce(_ unionByName _)
+      .unionByName(callsReq)
+      .unionByName(callsApi)
+      .dropDuplicates("edge_type", "src_key", "dst_key") // sorted-set dedup (D1)
+
+    Graph(nodes, edges, mentions)
+  }
+}

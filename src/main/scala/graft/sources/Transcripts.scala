@@ -154,7 +154,7 @@ object Transcripts {
     * events parquet. Prepended to every oracle SQL by [[oracle]].
     */
   val oracleCte: String =
-    s"""WITH enriched AS (
+    s"""WITH RECURSIVE enriched AS (
   SELECT *,
     CAST(row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
     CASE
