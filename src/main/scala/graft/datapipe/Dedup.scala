@@ -94,9 +94,9 @@ object DocDedup {
       .where(length(col("tok")) > 0)
       .withColumn("h", md5(col("tok").cast("binary")))
     val voteAggs = (0 until 32).map { j =>
-      // hex char parity -> ±1 vote
+      // hex char parity -> ±1 vote (instr exists in both Spark and DuckDB)
       sum(
-        when(expr(s"strpos('13579bdf', substr(h, ${j + 1}, 1)) > 0"), 1).otherwise(-1)
+        when(expr(s"instr('13579bdf', substr(h, ${j + 1}, 1)) > 0"), 1).otherwise(-1)
       ).as(s"b$j")
     }
     val votes = toks.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)

@@ -59,9 +59,12 @@ object Sessions {
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn(
         "new_session",
+        // micro-precision gap (unix_timestamp truncates to seconds and would
+        // disagree with the micro-precision streaming twin on razor-edge gaps)
         when(
           col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L,
+            unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > gapMinutes * 60000000L,
           1L
         ).otherwise(0L)
       )
@@ -88,6 +91,17 @@ object Sessions {
       session_end: Timestamp
   )
 
+  /** java.sql.Timestamp <-> epoch micros (Timestamp.getTime is millis and
+    * would silently truncate the parquet micro-precision timestamps).
+    */
+  private def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** flatMapGroupsWithState sessionizer (KeyValueGroupedDataset custom
     * state). Used by StreamingSpec; semantics match [[sessionize]] when the
     * input arrives in order.
@@ -101,18 +115,18 @@ object Sessions {
         OutputMode.Append,
         GroupStateTimeout.NoTimeout
       ) { (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-        val gapMs = gapMinutes * 60000L
-        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val gapUs = gapMinutes * 60000000L
+        val sorted = evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
         var sessions = state.getOption.getOrElse(Nil)
         var closed = List.empty[SessionOut]
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = tsMicros(e.ts)
           sessions match {
-            case cur :: rest if t - cur.lastTs <= gapMs =>
+            case cur :: rest if t - cur.lastTs <= gapUs =>
               sessions = cur.copy(lastTs = t, n = cur.n + 1) :: rest
             case cur :: rest =>
-              closed = SessionOut(user, cur.idx, cur.n, new Timestamp(cur.startTs),
-                new Timestamp(cur.lastTs)) :: closed
+              closed = SessionOut(user, cur.idx, cur.n, microsTs(cur.startTs),
+                microsTs(cur.lastTs)) :: closed
               sessions = SessionState(t, t, 1, cur.idx + 1) :: rest
             case Nil =>
               sessions = SessionState(t, t, 1, 1) :: Nil

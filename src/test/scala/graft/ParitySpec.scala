@@ -1,0 +1,164 @@
+package graft
+
+import java.util.regex.Pattern
+import graft.extract.Dictionary
+
+/** Triple-set parity (the BASELINE.json headline gate): the pipeline's
+  * (subj, pred, obj) edge set must match a SEALED, independent reference
+  * extractor at precision/recall >= 0.95.
+  *
+  * The reference implementation below is deliberately plain single-threaded
+  * Scala over collected rows — regex scans, hash maps, loops — sharing NO
+  * Spark code with the engine (only the Dictionary constants, which are
+  * configuration). It mirrors the reference system's per-file imperative
+  * extraction (ast/src/lang/parse/collect.rs; call_finder.rs cascade;
+  * linker.rs path matching) re-keyed to transcripts.
+  */
+class ParitySpec extends SparkSpec {
+
+  private def san(s: String): String = s.toLowerCase.replaceAll("[^a-zA-Z0-9]", "")
+  private def key4(t: String, n: String, c: String, i: Int): String =
+    Seq(san(t), san(n), san(c), san(i.toString)).mkString("-")
+  private def key5(t: String, n: String, c: String, i: Int, v: String): String =
+    key4(t, n, c, i) + "-" + san(v)
+
+  private def normBackend(p: String): String = {
+    var x = p.replaceAll("\\{[^}]*\\}", ":param")
+    x = x.replaceAll("/[0-9]+(?=/|$)", "/:param")
+    if (x != "/") x.replaceAll("/+$", "") else x
+  }
+  private def normFrontend(p: String): String = {
+    var x = p.replaceAll("^https?://[^/]+", "")
+    x = x.replaceAll("\\$\\{[^}]*\\}", ":param")
+    x = x.replaceAll("/[0-9]+(?=/|$)", "/:param")
+    if (x != "/") x.replaceAll("/+$", "") else x
+  }
+
+  case class T(conv: String, idx: Int, role: String, text: String, tool: Option[String])
+  case class Triple(et: String, src: String, dst: String, conf: Double, strat: String)
+
+  /** The sealed reference extractor: transcripts -> expected triple set. */
+  private def referenceTriples(rows: Seq[T]): Set[Triple] = {
+    val aliasRe = Pattern.compile(Dictionary.aliasPattern)
+    val handlerRe = Pattern.compile(Dictionary.handlerPattern)
+    val vpRe = Pattern.compile(Dictionary.verbPathPattern)
+    val dict = Dictionary.aliasToCanonical
+
+    def turnKey(c: String, i: Int) = key4("Turn", s"turn-$i", c, i)
+
+    val out = scala.collection.mutable.Set[Triple]()
+    val corpusKey = key4("Corpus", "corpus", "", -1)
+
+    // spine
+    rows.map(_.conv).distinct.foreach { c =>
+      out += Triple("CONTAINS", corpusKey, key4("Conversation", c, c, -1), 1.0, "spine")
+    }
+    rows.foreach { r =>
+      out += Triple("CONTAINS", key4("Conversation", r.conv, r.conv, -1),
+        turnKey(r.conv, r.idx), 1.0, "spine")
+      out += Triple("OF", turnKey(r.conv, r.idx), key4("Role", r.role, "", -1), 1.0, "spine")
+      r.tool.foreach { tl =>
+        out += Triple("USES", turnKey(r.conv, r.idx), key4("Tool", tl, "", -1), 1.0, "tool_column")
+      }
+    }
+
+    // entity mentions -> MENTIONS
+    rows.foreach { r =>
+      val m = aliasRe.matcher(r.text)
+      while (m.find()) {
+        dict.get(m.group(1)).foreach { canon =>
+          out += Triple("MENTIONS", turnKey(r.conv, r.idx),
+            key4("Entity", canon, "", -1), 1.0, "alias_dict")
+        }
+      }
+    }
+
+    // function defs / calls
+    case class FnMention(conv: String, idx: Int, name: String, isDef: Boolean)
+    val fns = rows.flatMap { r =>
+      val m = handlerRe.matcher(r.text)
+      if (m.find()) Some(FnMention(r.conv, r.idx, m.group(1), r.role == "tool")) else None
+    }
+    val defs = fns.filter(_.isDef)
+    val defConvs: Map[String, Set[String]] =
+      defs.groupBy(_.name).map { case (n, ms) => n -> ms.map(_.conv).toSet }
+    val firstDefTurn: Map[(String, String), Int] =
+      defs.groupBy(m => (m.name, m.conv)).map { case (k, ms) => k -> ms.map(_.idx).min }
+
+    fns.filter(!_.isDef).foreach { c =>
+      val convs = defConvs.getOrElse(c.name, Set.empty)
+      val (resolvedConv, conf, strat) =
+        if (convs.size == 1) (convs.head, 0.90, "global_unique")
+        else if (convs.contains(c.conv)) (c.conv, 0.85, "same_conv")
+        else {
+          val prefix = c.conv.substring(0, 11)
+          val sameUser = convs.filter(_.startsWith(prefix))
+          if (sameUser.nonEmpty) (sameUser.min, 0.45, "same_dir")
+          else ("unverified", 0.35, "unverified")
+        }
+      val dst =
+        if (resolvedConv == "unverified") key4("Function", c.name, "unverified", -1)
+        else key4("Function", c.name, resolvedConv, firstDefTurn((c.name, resolvedConv)))
+      out += Triple("CALLS", turnKey(c.conv, c.idx), dst, conf, strat)
+    }
+
+    // endpoints / requests
+    case class Vp(conv: String, idx: Int, verb: String, path: String, isEp: Boolean)
+    val vps = rows.filter(r => r.role == "tool" || r.role == "assistant").flatMap { r =>
+      val m = vpRe.matcher(r.text)
+      if (m.find()) Some(Vp(r.conv, r.idx, m.group(1), m.group(2), r.role == "tool")) else None
+    }
+    val eps = vps.filter(_.isEp)
+    val epIds = eps.map(e => (normBackend(e.path), e.verb)).toSet
+
+    // HANDLER: endpoint identity -> handler function declared in same turn
+    eps.foreach { e =>
+      fns.filter(f => f.isDef && f.conv == e.conv && f.idx == e.idx).foreach { f =>
+        out += Triple("HANDLER", key5("Endpoint", normBackend(e.path), "", -1, e.verb),
+          key4("Function", f.name, f.conv, firstDefTurn((f.name, f.conv))), 1.0, "handler")
+      }
+    }
+
+    vps.filter(!_.isEp).foreach { q =>
+      out += Triple("CALLS", turnKey(q.conv, q.idx),
+        key4("Request", q.path, q.conv, q.idx), 1.0, "request_in_turn")
+      val np = normFrontend(q.path)
+      if (epIds.contains((np, q.verb))) {
+        out += Triple("CALLS", key4("Request", q.path, q.conv, q.idx),
+          key5("Endpoint", np, "", -1, q.verb), 1.0, "api_link")
+      }
+    }
+    out.toSet
+  }
+
+  test("triple-set P/R >= 0.95 vs sealed reference extractor (sf0.001)") {
+    import spark.implicits._
+    val rows = SparkTestSession.transcripts
+      .select("conv_id", "turn_idx", "role", "text", "tool")
+      .as[(String, Int, String, String, Option[String])]
+      .collect()
+      .map(r => T(r._1, r._2, r._3, r._4, r._5))
+      .toSeq
+
+    val gold = referenceTriples(rows)
+    val got = SparkTestSession.graph.edges
+      .select("edge_type", "src_key", "dst_key", "confidence", "strategy")
+      .as[(String, String, String, Double, String)]
+      .collect()
+      .map(e => Triple(e._1, e._2, e._3, e._4, e._5))
+      .toSet
+
+    val inter = gold.intersect(got).size.toDouble
+    val precision = inter / got.size
+    val recall = inter / gold.size
+    info(f"precision=$precision%.4f recall=$recall%.4f gold=${gold.size} got=${got.size}")
+    if (precision < 1.0) {
+      info("sample false positives: " + got.diff(gold).take(3).mkString("; "))
+    }
+    if (recall < 1.0) {
+      info("sample misses: " + gold.diff(got).take(3).mkString("; "))
+    }
+    assert(precision >= 0.95, f"precision $precision%.4f < 0.95")
+    assert(recall >= 0.95, f"recall $recall%.4f < 0.95")
+  }
+}

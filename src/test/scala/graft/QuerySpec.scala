@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.Query
+import graft.graphstore.GraphOps
+
+/** Query/serving operators (reference §2.G) on a hand-built fixture graph
+  * where expected results are computable by eye, plus structural properties
+  * on the sf0.001 graph.
+  */
+class QuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  //     a -> b -> c -> d        (CALLS)
+  //     a -> e                   (CONTAINS)
+  private val edges = Seq(
+    ("CALLS", "a", "b"), ("CALLS", "b", "c"), ("CALLS", "c", "d"),
+    ("CONTAINS", "a", "e")
+  ).toDF("edge_type", "src_key", "dst_key")
+    .withColumn("confidence", lit(1.0))
+    .withColumn("strategy", lit("t"))
+
+  test("expand: depth-bounded BFS with min-depth semantics") {
+    val out = Query
+      .expand(edges, Seq("a").toDF("node_key"), depth = 2)
+      .as[(String, Int)].collect().toMap
+    assert(out == Map("a" -> 0, "b" -> 1, "e" -> 1, "c" -> 2))
+  }
+
+  test("expand with edge-type filter and reverse direction") {
+    val fwd = Query.expand(edges, Seq("a").toDF("node_key"), 3, Seq("CALLS"))
+      .as[(String, Int)].collect().toMap
+    assert(fwd == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+    val rev = Query.expand(edges, Seq("d").toDF("node_key"), 2, Seq("CALLS"), reverse = true)
+      .as[(String, Int)].collect().toMap
+    assert(rev == Map("d" -> 0, "c" -> 1, "b" -> 2))
+  }
+
+  test("shortestDist finds the undirected minimum distance") {
+    val d = Query.shortestDist(edges, Seq("e").toDF("node_key"), "c", 5)
+      .as[(String, Int)].collect()
+    assert(d.length == 1 && d.head._2 == 3) // e -a- b - c undirected
+  }
+
+  test("pagerank: ranks sum to N and a sink outranks sources on a chain") {
+    val nodes = Seq("a", "b", "c", "d", "e").toDF("node_key")
+    val pr = Query.pagerank(nodes, edges.where(col("edge_type") === "CALLS"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 5.0) < 1e-6, s"ranks must sum to N, got ${pr.values.sum}")
+    assert(pr("d") > pr("a"), "chain sink accumulates rank")
+    assert(pr("c") > pr("b"), "downstream accumulates more")
+  }
+
+  test("pagerank on the sf0.001 projected graph: mass conserved, no NaN") {
+    val g = SparkTestSession.graph
+    val proj = g.nodes.where(col("node_type").isin("Request", "Endpoint", "Function"))
+    val keys = proj.select("node_key")
+    val pe = g.edges
+      .where(col("edge_type").isin("CALLS", "HANDLER"))
+      .join(keys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
+      .join(keys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
+    val pr = Query.pagerank(proj, pe, iters = 5)
+    val n = proj.count().toDouble
+    val s = pr.agg(sum("rank")).as[Double].head()
+    assert(math.abs(s - n) / n < 1e-6, s"mass drift: $s vs $n")
+    assert(pr.where(col("rank").isNull || isnan(col("rank"))).isEmpty)
+  }
+
+  test("search scoring: exact name beats prefix beats contains; stable top-k") {
+    val nodes = Seq(
+      ("Entity", "postgres", "", "", "k1"),
+      ("Entity", "postgresql", "", "", "k2"),
+      ("Entity", "my-postgres-db", "", "", "k3"),
+      ("Entity", "kafka", "postgres mentioned in body", "", "k4"),
+      ("Entity", "redis", "", "", "k5")
+    ).toDF("node_type", "name", "body", "conv_id", "node_key")
+    val out = Query.search(nodes, "postgres", 10)
+      .select("node_key", "score").as[(String, Int)].collect().toSeq
+    assert(out == Seq(("k1", 100), ("k2", 70), ("k3", 50), ("k4", 25)))
+  }
+
+  test("graph ops: filteredGraph keeps only edges with both endpoints kept") {
+    val g = SparkTestSession.graph
+    val convs = SparkTestSession.transcripts.select("conv_id").distinct().limit(3)
+    val (kn, ke) = GraphOps.filteredGraph(g.nodes, g.edges, convs)
+    val keys = kn.select("node_key")
+    val dangling = ke
+      .join(keys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_anti")
+    assert(dangling.isEmpty)
+  }
+
+  test("coverage ratio is consistent with uncalledFunctions") {
+    val g = SparkTestSession.graph
+    val cov = Query.coverage(g.nodes, g.edges)
+      .as[(Long, Long, Double)].head()
+    val uncalled = GraphOps.uncalledFunctions(g.nodes, g.edges).count()
+    assert(cov._1 - cov._2 == uncalled)
+  }
+}

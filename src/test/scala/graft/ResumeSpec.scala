@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.checkpoint.{SnapshotTable, StageRunner}
+import graft.pipeline.CheckpointedBuild
+import graft.extract.Mentions
+
+/** Resume-from-checkpoint idempotence (north rule; reference
+  * update_incremental semantics graph_ops.rs:95-274):
+  *  - a killed-after-stage-N run, restarted, produces byte-identical output
+  *    tables WITHOUT recomputing committed stages;
+  *  - a full re-run over an already-complete output dir recomputes nothing.
+  */
+class ResumeSpec extends SparkSpec {
+
+  private val stages = Seq("transcripts", "mentions", "resolved_calls",
+    "resolved_entities", "api_links", "nodes", "edges")
+
+  private def snapIds(base: String): Map[String, Option[Int]] =
+    stages.map(s => s -> SnapshotTable.latestSnapshotId(s"$base/$s")).toMap
+
+  test("kill-after-stage-2 resume: identical outputs, no recomputation of committed stages") {
+    val t = SparkTestSession.transcripts
+    val dirFull = Files.createTempDirectory("graft-full").toString
+    val dirKilled = Files.createTempDirectory("graft-killed").toString
+
+    // uninterrupted run -> the expected final tables
+    val full = CheckpointedBuild.run(spark, t, dirFull, "run-full")
+
+    // simulate a run killed after committing the first two stages
+    val r = new StageRunner(spark, dirKilled, "run-killed")
+    val t1 = r.run("transcripts", "conv_id")(t)
+    r.run("mentions", "mention_type")(Mentions.extract(t1))
+    val idsAfterKill = snapIds(dirKilled)
+    assert(idsAfterKill("transcripts").isDefined && idsAfterKill("mentions").isDefined)
+    assert(idsAfterKill("nodes").isEmpty, "later stages must not exist yet")
+
+    // resume
+    val resumed = CheckpointedBuild.run(spark, t, dirKilled, "run-resumed")
+    val idsAfterResume = snapIds(dirKilled)
+    assert(idsAfterResume("transcripts") == idsAfterKill("transcripts"),
+      "resume must NOT write a new transcripts snapshot")
+    assert(idsAfterResume("mentions") == idsAfterKill("mentions"),
+      "resume must NOT write a new mentions snapshot")
+    assert(CheckpointedBuild.complete(dirKilled))
+
+    assertSameRows(full.nodes, resumed.nodes)
+    assertSameRows(full.edges, resumed.edges)
+  }
+
+  test("re-run over a complete dir recomputes nothing (snapshot ids frozen)") {
+    val t = SparkTestSession.transcripts
+    val dir = Files.createTempDirectory("graft-rerun").toString
+    CheckpointedBuild.run(spark, t, dir, "run-a")
+    val ids1 = snapIds(dir)
+    val again = CheckpointedBuild.run(spark, t, dir, "run-b")
+    assert(snapIds(dir) == ids1, "second run must not commit any new snapshot")
+    assert(again.nodes.count() > 0 && again.edges.count() > 0)
+  }
+
+  test("lineage rows carry per-partition counts and stage metrics") {
+    val t = SparkTestSession.transcripts
+    val dir = Files.createTempDirectory("graft-lineage").toString
+    val res = CheckpointedBuild.run(spark, t, dir, "run-lin")
+    val lin = graft.checkpoint.Lineage.read(spark, res.runner.lineageDir)
+    val byStage = lin.groupBy("stage").agg(sum("row_count").as("rows")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-partition counts must sum to the committed table sizes
+    assert(byStage("transcripts") == t.count())
+    assert(byStage("mentions") == Mentions.extract(t).count())
+    assert(byStage("nodes") == res.nodes.count())
+    assert(byStage("edges") == res.edges.count())
+    // every stage recorded wall time
+    assert(lin.where(col("wall_ms") < 0).isEmpty)
+    // partition keys are real values of the partition column
+    val mentionPks = lin.where(col("stage") === "mentions")
+      .select("partition_key").collect().map(_.getString(0)).toSet
+    assert(mentionPks.contains("Entity"))
+  }
+
+  test("snapshot commit is atomic: a stray tmp manifest is never visible") {
+    val dir = Files.createTempDirectory("graft-atomic").toString
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    SnapshotTable.commit(df, s"$dir/t", "s1")
+    // simulate a killed writer: data written, manifest only staged as .tmp
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t/_snapshot-99.json.tmp"),
+      """{"snapshot":99,"files":["data/bogus-99"]}"""
+    )
+    assert(SnapshotTable.latestSnapshotId(s"$dir/t").contains(1),
+      "tmp manifest must be invisible to readers")
+    assert(SnapshotTable.read(spark, s"$dir/t").get.count() == 2)
+  }
+}
