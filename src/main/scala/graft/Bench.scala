@@ -1,24 +1,84 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.GraphBuild
+import graft.sources.Transcripts
+
+/** Benchmark main — one JSON line on stdout.
+  *
+  * Headline metric: end-to-end triples/sec for the full build (corpus ->
+  * mentions -> resolution -> node/edge tables), plus per-query wall times
+  * for every SparkEntry operator.
+  *
+  * Env knobs:
+  *   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS    local[N] + shuffle partitions (default 32)
+  *   SPARK_GRAFT_SCALE   corpus replication factor R (default 1): the input
+  *                       is unioned R times with distinct conv_id suffixes —
+  *                       same deterministic job at R× the rows, used by
+  *                       tools/scaling_bench.sh to measure throughput at two
+  *                       parallelism levels on an input large enough that
+  *                       fixed planning overhead doesn't dominate.
+  *   SPARK_GRAFT_QUERIES set to "0" to skip the per-query suite (scaling
+  *                       runs time only the build).
+  */
 object Bench {
+
+  /** Deterministic R-fold corpus replication (conv-id suffix keeps every
+    * conversation distinct, so work truly scales R×).
+    */
+  def scaledTranscripts(spark: SparkSession, sfDir: String, r: Int) = {
+    val t = Transcripts.fromEvents(spark, sfDir)
+    if (r <= 1) t
+    else
+      spark
+        .range(r)
+        .select(col("id").cast("string").as("rep"))
+        .crossJoin(t)
+        .withColumn("conv_id", concat(col("conv_id"), lit("-r"), col("rep")))
+        .drop("rep")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1").toInt
+    val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
+    val spark = SparkSession
+      .builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // headline: full-build throughput in emitted triples (edges) per second
+    val b0 = System.nanoTime()
+    val g = GraphBuild.build(spark, scaledTranscripts(spark, sfDir, scale))
+    val nEdges = g.edges.count()
+    val nNodes = g.nodes.count()
+    val buildSec = (System.nanoTime() - b0) / 1e9
+    val triplesPerSec = nEdges / buildSec
+
+    val results: Map[String, Double] =
+      if (!runQueries) Map.empty
+      else
+        SparkEntry.queries.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = buildSec + results.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""cpus":$cpus,"scale":$scale,"build_sec":$buildSec,"nodes":$nNodes,""" +
+        s""""edges":$nEdges,"triples_per_sec":$triplesPerSec}"""
+    )
     spark.stop()
   }
 }

@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.canon.Canon
+import graft.datapipe.{Ann, DocDedup, Multimodal, TextStats}
+import graft.extract.Mentions
+import graft.sources.Transcripts
+
+/** Training-data-pipeline operator entries (dedup / similarity search /
+  * multimodal plumbing / text analysis) over the driver's `documents` and
+  * `embeddings` parquet tables, plus the canonicalization stage (MinHash-LSH
+  * blocking + iterative connected components) over transcript mention names.
+  *
+  * Every entry has a DuckDB oracle twin computing the identical result with
+  * engine-portable primitives (md5 hex strings, double-widened quantized dot
+  * products) — see the portability notes in [[graft.canon.Canon]] and
+  * [[graft.datapipe.Ann]].
+  */
+object DatapipeEntries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def mentionNames(s: SparkSession, dir: String): DataFrame =
+    Mentions
+      .extract(Transcripts.fromEvents(s, dir))
+      .where(col("mention_type") === "Entity")
+      .select("name")
+      .distinct()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- dedup family (exact, MinHash-LSH, SimHash, n-gram Jaccard) -------
+    "dp_dedup_exact" -> ((s, dir) => DocDedup.exact(docs(s, dir))),
+    "dp_neardup_lsh" -> ((s, dir) => DocDedup.nearDupPairs(docs(s, dir), 0.5)),
+    "dp_simhash" -> ((s, dir) => DocDedup.simhash(docs(s, dir))),
+    "dp_ngram_jaccard" -> ((s, dir) => DocDedup.ngramJaccardPairs(docs(s, dir), 0.8)),
+
+    // --- text analysis ----------------------------------------------------
+    "dp_langid" -> ((s, dir) => TextStats.langId(docs(s, dir))),
+    "dp_quality" -> ((s, dir) => TextStats.quality(docs(s, dir))),
+    "dp_token_counts" -> ((s, dir) => TextStats.tokenCounts(docs(s, dir))),
+    "dp_fingerprint" -> ((s, dir) => TextStats.fingerprint(docs(s, dir))),
+
+    // --- multimodal binary-column plumbing --------------------------------
+    "dp_media_features" -> ((s, dir) =>
+      Multimodal.stubDecodeCatalyst(Multimodal.asBinary(docs(s, dir)))),
+    // mapPartitions twin (real per-partition batch decode path) — must equal
+    // the Catalyst twin, so it shares the same oracle SQL
+    "dp_media_features_mp" -> ((s, dir) =>
+      Multimodal.stubDecode(s, Multimodal.asBinary(docs(s, dir))).toDF()),
+
+    // --- similarity search ------------------------------------------------
+    "dp_ann_dot" -> ((s, dir) => Ann.bruteTopKDot(emb(s, dir), 8, 5)),
+    "dp_ann_cosine" -> ((s, dir) => Ann.bruteTopKCosine(emb(s, dir), 8, 5)),
+    "dp_ann_ivf" -> ((s, dir) => Ann.ivfTopK(emb(s, dir), 4, 8, 5)),
+
+    // --- canonicalization (north rule: LSH blocking + iterative CC) -------
+    "kg_canon_pairs" -> ((s, dir) => Canon.candidatePairs(mentionNames(s, dir), 0.5)),
+    "kg_canon_clusters" -> { (s, dir) =>
+      val names = mentionNames(s, dir)
+      Canon.connectedComponents(names, Canon.candidatePairs(names, 0.5))
+    }
+  )
+
+  // ------------------------------------------------------------------ SQL
+
+  /** Word-3-gram shingle CTEs over `documents` (sh = distinct (doc_id,
+    * shingle), sizes = per-doc shingle counts).
+    */
+  private val wordShingleCte = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM toks
+), sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+  /** MinHash signature + banding CTEs (K=8, 4 bands x 2 rows), matching
+    * [[graft.datapipe.DocDedup.minhash]] md5-hex-min semantics exactly.
+    */
+  private val minhashCte: String = {
+    val hs = (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band_idx, h${2 * b} || '|' || h${2 * b + 1} AS band_key FROM sig")
+      .mkString(" UNION ALL ")
+    s""",
+sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+banded AS ($bands)"""
+  }
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%s, %s), s -> " +
+      "CAST(floor(CAST(s[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(s[2] AS DOUBLE)*1000) AS BIGINT)))"
+  private def dot(a: String, b: String) = dotSql.format(a, b)
+
+  private val simhashVotes = (0 until 32)
+    .map(j => s"sum(CASE WHEN instr('13579bdf', substr(h, ${j + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS b$j")
+    .mkString(", ")
+  private val simhashBits = (0 until 32)
+    .map(j => s"(CASE WHEN b$j > 0 THEN '1' ELSE '0' END)")
+    .mkString(" || ")
+
+  /** Char-3-gram shingles over distinct Entity mention names (the canon
+    * vertices), derived from the shared transcript CTEs (`ments`).
+    */
+  private val nameShingleCte = """
+, vnames AS (SELECT DISTINCT name FROM ments)
+, nsh0 AS (
+  SELECT name, lower(name) AS lname FROM vnames WHERE length(lower(name)) >= 3
+)
+, nsh AS (
+  SELECT DISTINCT name,
+    unnest(list_transform(range(1, greatest(length(lname)-2, 0)+1),
+           i -> substr(lname, i, 3))) AS shingle
+  FROM nsh0
+)
+, nsizes AS (SELECT name, count(*) AS n FROM nsh GROUP BY name)"""
+
+  private val namePairsCte: String = {
+    val hs = (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"SELECT name, $b AS band_idx, h${2 * b} || '|' || h${2 * b + 1} AS band_key FROM nsig")
+      .mkString(" UNION ALL ")
+    s"""$nameShingleCte
+, nsig AS (SELECT name, $hs FROM nsh GROUP BY name)
+, nbanded AS ($bands)
+, ncand AS (
+  SELECT DISTINCT x.name AS name_a, y.name AS name_b
+  FROM nbanded x JOIN nbanded y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+  WHERE x.name < y.name
+)
+, ninter AS (
+  SELECT c.name_a, c.name_b, count(*) AS inter
+  FROM ncand c JOIN nsh a ON a.name = c.name_a
+               JOIN nsh b ON b.name = c.name_b AND b.shingle = a.shingle
+  GROUP BY c.name_a, c.name_b
+)
+, npairs AS (
+  SELECT c.name_a, c.name_b,
+         CAST(coalesce(i.inter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.inter, 0)) AS jaccard
+  FROM ncand c
+  LEFT JOIN ninter i ON i.name_a = c.name_a AND i.name_b = c.name_b
+  JOIN nsizes sa ON sa.name = c.name_a
+  JOIN nsizes sb ON sb.name = c.name_b
+  WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.inter, 0)) >= 0.5
+)"""
+  }
+
+  private val mediaSql = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height,
+       substr(md5(text), 1, 8) AS checksum_prefix
+FROM documents"""
+
+  val oracleSql: Map[String, String] = Map(
+    "dp_dedup_exact" -> """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1""",
+    "dp_neardup_lsh" -> s"""$wordShingleCte$minhashCte,
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.5""",
+    "dp_simhash" -> s"""
+WITH t0 AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), t1 AS (SELECT doc_id, md5(tok) AS h FROM t0 WHERE length(tok) > 0),
+votes AS (SELECT doc_id, $simhashVotes FROM t1 GROUP BY doc_id)
+SELECT doc_id, $simhashBits AS simhash_bits FROM votes""",
+    "dp_ngram_jaccard" -> s"""$wordShingleCte,
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE)/(sa.n + sb.n - i.inter) >= 0.8""",
+    "dp_langid" -> """
+WITH t0 AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), t1 AS (SELECT doc_id, tok FROM t0 WHERE length(tok) > 0)
+SELECT doc_id, count(*) AS n_tokens,
+       sum(CASE WHEN tok IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS n_stop,
+       CAST(sum(CASE WHEN tok IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS stop_ratio,
+       CASE WHEN CAST(sum(CASE WHEN tok IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang
+FROM t1 GROUP BY doc_id""",
+    "dp_quality" -> """
+WITH t0 AS (
+  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok FROM documents
+), t1 AS (SELECT doc_id, n_chars, tok FROM t0 WHERE length(tok) > 0)
+SELECT doc_id, count(*) AS n_tokens, max(n_chars) AS n_chars,
+       CAST(sum(length(tok)) AS DOUBLE) / count(*) AS avg_tok_len,
+       CAST(sum(CASE WHEN lower(tok) IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS stop_ratio
+FROM t1 GROUP BY doc_id""",
+    "dp_token_counts" -> """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents""",
+    "dp_fingerprint" -> """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+FROM documents""",
+    "dp_media_features" -> mediaSql,
+    "dp_media_features_mp" -> mediaSql,
+    "dp_ann_dot" -> s"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id, ${dot("q.qv", "e.embedding")} AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, score, rank FROM ranked WHERE rank <= 5""",
+    "dp_ann_cosine" -> """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+    list_sum(list_transform(list_zip(q.qv, e.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= 5""",
+    "dp_ann_ivf" -> s"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings WHERE vec_id < 4),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id, ${dot("e.embedding", "c.centv")} AS cscore
+  FROM embeddings e, cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM assigned WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, q.cell, a.vec_id AS cand_id, ${dot("q.qv", "a.embedding")} AS score
+  FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, cell, cand_id, score, rank FROM ranked WHERE rank <= 5""",
+    "kg_canon_pairs" -> Oracles.withGraph(s"""$namePairsCte
+SELECT name_a, name_b, jaccard FROM npairs"""),
+    "kg_canon_clusters" -> Oracles.withGraph(s"""$namePairsCte
+, nedges AS (
+  SELECT name_a AS src, name_b AS dst FROM npairs
+  UNION ALL
+  SELECT name_b AS src, name_a AS dst FROM npairs
+)
+, closure(a, b) AS (
+  SELECT name, name FROM vnames
+  UNION
+  SELECT c.a, e.dst FROM closure c JOIN nedges e ON e.src = c.b
+)
+SELECT a AS name, min(b) AS cluster FROM closure GROUP BY a""")
+  )
+}

@@ -50,7 +50,7 @@ object SparkEntry {
       }
     )
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = DatapipeEntries.queries ++ Map(
     // A1/A3 corpus scan + normalization: the input table itself, proving
     // per-turn text equality + stable (conv_id, turn_idx) ordering survive.
     "kg_transcripts" -> ((s, dir) => Transcripts.fromEvents(s, dir)),
@@ -168,7 +168,7 @@ object SparkEntry {
 
   private val O = Transcripts.oracle _
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = DatapipeEntries.oracleSql ++ Map(
     "kg_transcripts" -> O(
       "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
     ),

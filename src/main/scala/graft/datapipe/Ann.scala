@@ -22,13 +22,15 @@ import org.apache.spark.sql.expressions.Window
 object Ann {
 
   private def dotInt(a: String, b: String) =
+    // floor over DOUBLE on both engines: float*1000 computed in float vs
+    // double can floor to different integers near boundaries, so widen first
     expr(
-      s"aggregate(zip_with($a, $b, (x, y) -> CAST(floor(x*1000) AS BIGINT) * CAST(floor(y*1000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE)*1000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
 
   private def cosine(a: String, b: String) =
     expr(
-      s"""aggregate(zip_with($a, $b, (x, y) -> struct(CAST(x*y AS DOUBLE) AS xy, CAST(x*x AS DOUBLE) AS xx, CAST(y*y AS DOUBLE) AS yy)),
+      s"""aggregate(zip_with($a, $b, (x, y) -> struct(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS xy, CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS xx, CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS yy)),
          |struct(CAST(0.0 AS DOUBLE) AS xy, CAST(0.0 AS DOUBLE) AS xx, CAST(0.0 AS DOUBLE) AS yy),
          |(acc, v) -> struct(acc.xy + v.xy AS xy, acc.xx + v.xx AS xx, acc.yy + v.yy AS yy),
          |acc -> acc.xy / (sqrt(acc.xx) * sqrt(acc.yy)))""".stripMargin.replace("\n", " ")
