@@ -181,6 +181,21 @@ object Oracles {
                  replace(path, '{id}', '$$' || '{id}') AS req_path
           FROM enriched WHERE role = 'assistant') r
     JOIN ep_ids e ON e.name = r.norm_path AND e.verb = r.verb
+    UNION ALL
+    SELECT DISTINCT 'IMPORTS',
+           ${key4("'Import'", "'imports'", "t.conv_id", "i.turn_idx")},
+           ${key4("'Tool'", "t.tool", "''", "-1")},
+           CAST(1.0 AS DOUBLE), 'import_section'
+    FROM transcripts t JOIN imports i ON i.conv_id = t.conv_id
+    WHERE t.tool IS NOT NULL
+    UNION ALL
+    SELECT DISTINCT 'OPERAND',
+           ${key4("'Tool'", "e.tool", "''", "-1")},
+           ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")},
+           CAST(1.0 AS DOUBLE), 'tool_owner'
+    FROM enriched e JOIN fn_nodes f
+      ON f.name = e.alias || '_handler' AND f.conv_id = e.conv_id
+    WHERE e.role = 'tool'
 )
 , edges AS (
     -- duplicate (edge_type, src, dst) rows always carry identical payloads

@@ -163,7 +163,51 @@ object SparkEntry {
         .join(projKeys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
         .join(projKeys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
       Query.pagerank(proj, projEdges).withColumn("rank", round(col("rank"), 6))
-    }
+    },
+    // G9 shortest_path: BFS distance Entity postgres -> Entity kafka
+    "kg_shortest_path" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val start = g.nodes
+        .where(col("node_type") === "Entity" && col("name") === "postgres")
+        .select("node_key")
+      val target = g.nodes
+        .where(col("node_type") === "Entity" && col("name") === "kafka")
+        .select("node_key")
+        .first()
+        .getString(0)
+      Query.shortestDist(g.edges, start, target, 4)
+    },
+    // G5 hybrid RRF fusion: text-search ranking ⊕ mention-frequency ranking
+    // (the usage list plays the vector-hits role, boost 1.5 — graph.ts:184)
+    "kg_hybrid_search" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val text = Query.search(g.nodes, "postgres", 10).select("node_key", "score")
+      val usage = g.edges
+        .where(col("edge_type") === "MENTIONS")
+        .groupBy(col("dst_key").as("node_key"))
+        .agg(count(lit(1)).cast("double").as("score"))
+        .orderBy(col("score").desc, col("node_key"))
+        .limit(10)
+      Query.rrfFuse(Seq((text, 1.0), (usage, 1.5)), 5, 10)
+        .withColumn("fused_score", round(col("fused_score"), 6))
+    },
+    // G8 get_code: per-conversation body concat + token totals
+    "kg_code_concat" -> ((s, dir) => Query.codeConcat(graphOf(s, dir).nodes)),
+    // G14 inventory pagination: tool usage counts, page 1 (offset 0 limit 5)
+    "kg_tool_inventory" -> ((s, dir) =>
+      Query.toolInventory(Transcripts.fromEvents(s, dir), 0, 5)),
+    // G4 vector search: cosine threshold + top-k against one query vector
+    // (reference threshold 0.4 targets BGE embeddings, queries.ts:553; the
+    // synthetic embedding table maxes out at cos≈0.37, so 0.2 here)
+    "kg_vector_search" -> ((s, dir) =>
+      datapipe.Ann.vectorSearch(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0L, 0.2, 20)),
+    // Structured-Streaming batch twins (stream twins asserted equal in
+    // StreamingSpec via readStream + processAllAvailable)
+    "st_windowed_counts" -> ((s, dir) =>
+      streaming.Sessions.windowedCounts(s.read.parquet(s"$dir/events.parquet"))),
+    "st_sessionize" -> ((s, dir) =>
+      streaming.Sessions.sessionize(s.read.parquet(s"$dir/events.parquet")))
   )
 
   private val O = Transcripts.oracle _
@@ -335,6 +379,100 @@ object SparkEntry {
       ORDER BY score DESC, node_key
       LIMIT 10
     """),
+    "kg_shortest_path" -> Oracles.withGraph(s"""
+      , und AS (
+        SELECT src_key AS a, dst_key AS b FROM edges
+        UNION ALL
+        SELECT dst_key AS a, src_key AS b FROM edges
+      )
+      , spwalk(node_key, depth) AS (
+        SELECT ${Oracles.key4("'Entity'", "'postgres'", "''", "-1")}, 0
+        UNION
+        SELECT u.b, w.depth + 1 FROM spwalk w JOIN und u ON u.a = w.node_key
+        WHERE w.depth < 4
+      )
+      SELECT node_key, min(depth) AS depth FROM spwalk
+      WHERE node_key = ${Oracles.key4("'Entity'", "'kafka'", "''", "-1")}
+      GROUP BY node_key
+    """),
+    "kg_hybrid_search" -> Oracles.withGraph("""
+      , tsearch AS (
+        SELECT node_key, CAST(score AS DOUBLE) AS score FROM (
+          SELECT node_key, CAST(
+            (CASE WHEN lower(name) = 'postgres' THEN 100 ELSE 0 END) +
+            (CASE WHEN lower(name) LIKE 'postgres%' AND lower(name) <> 'postgres' THEN 70 ELSE 0 END) +
+            (CASE WHEN lower(name) LIKE '%postgres%' AND lower(name) NOT LIKE 'postgres%' THEN 50 ELSE 0 END) +
+            (CASE WHEN lower(body) LIKE '%postgres%' THEN 25 ELSE 0 END) +
+            (CASE WHEN lower(conv_id) LIKE '%postgres%' THEN 20 ELSE 0 END) AS INTEGER) AS score
+          FROM nodes
+        ) WHERE score > 0
+        ORDER BY score DESC, node_key LIMIT 10
+      )
+      , usage0 AS (
+        SELECT node_key, score FROM (
+          SELECT dst_key AS node_key, CAST(count(*) AS DOUBLE) AS score
+          FROM edges WHERE edge_type = 'MENTIONS' GROUP BY 1
+        ) ORDER BY score DESC, node_key LIMIT 10
+      )
+      , srcs AS (
+        SELECT node_key, 1.0 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
+               * (0.5 + 0.5*score/max(score) OVER ()) AS rrf
+        FROM tsearch
+        UNION ALL
+        SELECT node_key, 1.5 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
+               * (0.5 + 0.5*score/max(score) OVER ()) AS rrf
+        FROM usage0
+      )
+      SELECT node_key, round(sum(rrf), 6) AS fused_score
+      FROM srcs GROUP BY node_key
+      ORDER BY sum(rrf) DESC, node_key LIMIT 10
+    """),
+    "kg_code_concat" -> O("""
+      SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS code,
+             sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS token_count
+      FROM transcripts GROUP BY conv_id
+    """),
+    "kg_tool_inventory" -> O("""
+      SELECT name, n_uses, rn FROM (
+        SELECT tool AS name, count(*) AS n_uses,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, tool) AS INTEGER) AS rn
+        FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
+      ) WHERE rn > 0 AND rn <= 5
+    """),
+    "kg_vector_search" -> """
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id AS cand_id, label, cos FROM (
+        SELECT e.vec_id, e.label,
+          list_sum(list_transform(list_zip(q.qv, e.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> 0
+      ) WHERE cos >= 0.2 ORDER BY cos DESC, cand_id LIMIT 20
+    """,
+    "st_windowed_counts" -> """
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+      FROM events GROUP BY 1, 2
+    """,
+    "st_sessionize" -> """
+      WITH e AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      ), m AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM e
+      ), s AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM m
+      )
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+      FROM s GROUP BY 1, 2
+    """,
     "kg_coverage" -> Oracles.withGraph("""
       SELECT total_functions, called_functions,
              CAST(called_functions AS DOUBLE) / CAST(total_functions AS DOUBLE) AS coverage

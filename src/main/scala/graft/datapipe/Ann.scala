@@ -70,6 +70,25 @@ object Ann {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
+  /** G4 vector search (mcp/src/graph/queries.ts:549-581): all candidates
+    * with cosine ≥ `threshold` (reference constant 0.4) against ONE query
+    * vector, top-k by (cosine desc, vec_id). The single-row query side is a
+    * broadcast cross join — a scan, a codegen'd HOF, and a TakeOrdered.
+    */
+  def vectorSearch(emb: DataFrame, queryId: Long, threshold: Double, k: Int): DataFrame = {
+    val q = emb
+      .where(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    emb
+      .where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine("qv", "embedding"))
+      .where(col("cos") >= threshold)
+      .select(col("vec_id").as("cand_id"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("cand_id"))
+      .limit(k)
+  }
+
   /** IVF-style bucketed ANN: centroids = first `nCentroids` vectors by
     * vec_id (deterministic, quantized scores); every vector is assigned to
     * its max-inner-product centroid; each query probes only its own cell.

@@ -86,7 +86,12 @@ object GraphBuild {
 
   /** Full build: nodes + edges + the raw mention table. */
   def build(spark: SparkSession, transcripts: DataFrame): Graph = {
-    val t = transcripts.cache()
+    // Spread the corpus across shuffle.partitions tasks keyed by conv_id
+    // BEFORE caching: the raw input is often few/small parquet files (one
+    // scan task), which would serialize the regex-heavy extraction pass and
+    // every map-side stage hanging off the cache. At 100 TB the input table
+    // is already bucketed by conv_id and this is a no-op repartition.
+    val t = transcripts.repartition(col("conv_id")).cache()
     val mentions = Mentions.extract(t).cache()
 
     val entityM = mentions.where(col("mention_type") === "Entity")
@@ -226,10 +231,42 @@ object GraphBuild {
         reqKey(col("req_path"), col("conv_id"), col("turn_idx")),
         epKey(col("norm_path"), col("verb")), strat = lit("api_link")): _*)
 
+    // B15 collect_import_edges analog: the per-conversation Import section
+    // node -IMPORTS-> each Tool it names (parse/collect.rs:424-581)
+    def importKey(c: Column, i: Column) =
+      Keys.nodeKey(lit(NodeTypes.Import), lit("imports"), c, i)
+    val importsE = t
+      .where(col("tool").isNotNull)
+      .select(col("conv_id"), col("tool"))
+      .distinct()
+      .join(importNodes0.select(col("conv_id"), col("turn_idx")), Seq("conv_id"))
+      .select(edge(EdgeTypes.Imports, importKey(col("conv_id"), col("turn_idx")),
+        toolKey(col("tool")), strat = lit("import_section")): _*)
+
+    // C5 find_function_parent analog (method -> owning Class operand edge,
+    // queries/mod.rs:156-166): the service Tool owns the handler Function
+    // its turns define
+    val operandE = fnDefs
+      .select(col("conv_id"), col("turn_idx"), col("name").as("fn_name"))
+      .join(
+        t.where(col("tool").isNotNull).select(col("conv_id"), col("turn_idx"), col("tool")),
+        Seq("conv_id", "turn_idx"))
+      .join(
+        fnFirstDef
+          .withColumnRenamed("resolved_conv", "conv_id")
+          .withColumnRenamed("name", "fn_name"),
+        Seq("fn_name", "conv_id"))
+      .select(edge(EdgeTypes.Operand, toolKey(col("tool")),
+        fnKey(col("fn_name"), col("conv_id"), col("def_turn")),
+        strat = lit("tool_owner")): _*)
+      .distinct()
+
     val edges = Seq(containsConv, containsTurn, ofRole, usesTool, mentionsE, callsFn, handlerE)
       .reduce(_ unionByName _)
       .unionByName(callsReq)
       .unionByName(callsApi)
+      .unionByName(importsE)
+      .unionByName(operandE)
       .dropDuplicates("edge_type", "src_key", "dst_key") // sorted-set dedup (D1)
 
     Graph(nodes, edges, mentions)

@@ -134,6 +134,72 @@ object Query {
       .limit(limit)
   }
 
+  /** G5 hybrid RRF fusion (mcp/src/graph/graph.ts:152-235): each source is a
+    * ranked (node_key, score) list with a boost (vector hits boost ×1.5 in
+    * the reference); per source, rank by (score desc, node_key) and
+    * normalize score by the source max; fused score = Σ boost · (1/(k+rank))
+    * · (0.5 + 0.5·norm), k=5 (graph.ts:78). Sources are top-k result lists
+    * (dimension-sized), so the unpartitioned ranking windows are safe.
+    */
+  def rrfFuse(sources: Seq[(DataFrame, Double)], k: Int = 5, limit: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = sources.zipWithIndex.map { case ((df, boost), i) =>
+      val w = Window.orderBy(col("score").desc, col("node_key"))
+      df.select(col("node_key"), col("score").cast("double").as("score"))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("max_score", max(col("score")).over(Window.partitionBy(lit(1))))
+        .withColumn(
+          "rrf",
+          lit(boost) * (lit(1.0) / (lit(k.toDouble) + col("rank"))) *
+            (lit(0.5) + lit(0.5) * col("score") / col("max_score"))
+        )
+        .select(col("node_key"), col("rrf"))
+    }
+    scored
+      .reduce(_ unionByName _)
+      .groupBy("node_key")
+      .agg(sum("rrf").as("fused_score"))
+      .orderBy(col("fused_score").desc, col("node_key"))
+      .limit(limit)
+  }
+
+  /** G8 get_code (mcp/src/graph/graph.ts:458-476): per conversation, Turn
+    * bodies concatenated in turn order + whitespace-token totals. The
+    * concat is an in-partition array_sort over collected structs — one
+    * shuffle on conv_id, no window.
+    */
+  def codeConcat(nodes: DataFrame): DataFrame =
+    nodes
+      .where(col("node_type") === "Turn")
+      .withColumn("tokens", size(split(trim(col("body")), "\\s+")).cast("long"))
+      .groupBy("conv_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("body")))),
+            x => x.getField("body")
+          ),
+          "\n"
+        ).as("code"),
+        sum("tokens").as("token_count")
+      )
+
+  /** G14 mocks-inventory analog (queries.ts:173-211): per-tool usage counts
+    * with deterministic (count desc, name) ordering and offset/limit
+    * pagination via row_number.
+    */
+  def toolInventory(transcripts: DataFrame, offset: Int, limit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = transcripts
+      .where(col("tool").isNotNull)
+      .groupBy(col("tool").as("name"))
+      .agg(count(lit(1)).as("n_uses"))
+    counts
+      .withColumn("rn", row_number().over(Window.orderBy(col("n_uses").desc, col("name"))))
+      .where(col("rn") > offset && col("rn") <= offset + limit)
+      .select("name", "n_uses", "rn")
+  }
+
   /** G11 coverage (neo4j/operations/coverage.rs:16-41): share of Function
     * nodes with at least one incoming CALLS edge.
     */

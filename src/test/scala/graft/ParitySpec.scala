@@ -128,6 +128,30 @@ class ParitySpec extends SparkSpec {
           key5("Endpoint", np, "", -1, q.verb), 1.0, "api_link")
       }
     }
+
+    // import-section edges: the conversation's Import node (anchored at its
+    // first tool turn) -IMPORTS-> every tool it names
+    rows.groupBy(_.conv).foreach { case (c, rs) =>
+      val toolRows = rs.filter(_.tool.isDefined)
+      if (toolRows.nonEmpty) {
+        val minIdx = toolRows.map(_.idx).min
+        toolRows.map(_.tool.get).distinct.foreach { tl =>
+          out += Triple("IMPORTS", key4("Import", "imports", c, minIdx),
+            key4("Tool", tl, "", -1), 1.0, "import_section")
+        }
+      }
+    }
+
+    // operand edges: the service Tool owns the handler Function its turns
+    // define (first-definition node per (name, conv))
+    val toolAt: Map[(String, Int), String] =
+      rows.collect { case r if r.tool.isDefined => (r.conv, r.idx) -> r.tool.get }.toMap
+    defs.foreach { f =>
+      toolAt.get((f.conv, f.idx)).foreach { tl =>
+        out += Triple("OPERAND", key4("Tool", tl, "", -1),
+          key4("Function", f.name, f.conv, firstDefTurn((f.name, f.conv))), 1.0, "tool_owner")
+      }
+    }
     out.toSet
   }
 

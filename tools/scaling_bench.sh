@@ -17,8 +17,8 @@ OUT=$(mktemp -d)
 for CPUS in 8 32; do
   echo "== local[$CPUS] scale=$SCALE $SF" >&2
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_SCALE=$SCALE \
-    SPARK_GRAFT_QUERIES=0 \
-    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
+    SPARK_GRAFT_QUERIES=0 SPARK_DRIVER_MEM=24g \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '{"metric".*}' \
     > "$OUT/bench_$CPUS.json"
   cat "$OUT/bench_$CPUS.json"
 done
