@@ -50,7 +50,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", sys.env.getOrElse("SPARK_GRAFT_UI", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.extract.Mentions
+
+/** Temporary phase-timing probe (not part of the driver contract). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val t = time("t materialize (repartition+localCheckpoint)") {
+      Bench.scaledTranscripts(spark, sfDir, scale).repartition(col("conv_id")).localCheckpoint()
+    }
+    println(s"[probe] t rows: ${t.count()} partitions: ${t.rdd.getNumPartitions}")
+
+    val mCatalyst = time("mentions Catalyst union (count)") {
+      val m = Mentions.extract(t); m.count(); m
+    }
+    val mTrie = time("mentions trie mapPartitions (localCheckpoint)") {
+      Mentions.extractPartitioned(spark, t).toDF().localCheckpoint()
+    }
+    println(s"[probe] mentions rows: ${mTrie.count()}")
+
+    locally { val _ = mCatalyst }
+    val m = mTrie
+    val full = sys.env.getOrElse("SPARK_GRAFT_FULL", "1") == "1"
+    if (full) {
+    import graft.resolve.CallResolver
+    import graft.link.PathNorm
+
+    val calls = m.where(col("mention_type") === "FunctionCall")
+    val defs = m.where(col("mention_type") === "FunctionDef")
+    val rc = time("resolveCalls (count)") {
+      val x = CallResolver.resolveCalls(calls, defs).localCheckpoint(); x.count(); x
+    }
+    time("resolveEntities (count)") {
+      CallResolver.resolveEntities(spark, m.where(col("mention_type") === "Entity")).count()
+    }
+    time("linkApi (count)") {
+      PathNorm.linkApi(
+        m.where(col("mention_type") === "Request"),
+        m.where(col("mention_type") === "Endpoint")
+      ).count()
+    }
+    time("spineNodes (count)") {
+      graft.pipeline.GraphBuild.spineNodes(spark, t).count()
+    }
+    // key-building cost proxy: MENTIONS-like edge branch with two nodeKey sides
+    time("key-build 2x over 2.2M entity mentions (count)") {
+      import graft.functions.Keys
+      m.where(col("mention_type") === "Entity")
+        .select(
+          Keys.nodeKey(lit("Turn"), concat(lit("turn-"), col("turn_idx").cast("string")),
+            col("conv_id"), col("turn_idx")).as("src_key"),
+          Keys.nodeKey(lit("Entity"), col("name"), lit(""), lit(-1)).as("dst_key"))
+        .count()
+    }
+    locally { val _ = rc }
+
+    val g = time("full build from scratch (edges.count)") {
+      val gg = graft.pipeline.GraphBuild.build(spark, Bench.scaledTranscripts(spark, sfDir, scale))
+      gg.edges.count()
+      gg
+    }
+    time("nodes.count (reuse)") { g.nodes.count() }
+    time("edges.count AGAIN (no reuse — lineage recompute)") { g.edges.count() }
+    // per-branch cost: edge_type filter prunes the other union branches
+    Seq("CONTAINS", "OF", "USES", "MENTIONS", "CALLS", "HANDLER", "IMPORTS", "OPERAND")
+      .foreach { et =>
+        time(s"edges[$et].count") { g.edges.where(col("edge_type") === et).count() }
+      }
+    } // end if(full)
+
+    // isolate dedup cost: same key-build, with and without dropDuplicates
+    locally {
+      import graft.functions.Keys
+      val kb = t.select(
+        lit("CONTAINS").as("edge_type"),
+        Keys.nodeKey(lit("Conversation"), col("conv_id"), col("conv_id"), lit(-1)).as("src_key"),
+        Keys.nodeKey(lit("Turn"), concat(lit("turn-"), col("turn_idx").cast("string")),
+          col("conv_id"), col("turn_idx")).as("dst_key"),
+        lit(1.0).as("confidence"), lit("spine").as("strategy"))
+      time("contains-branch keys FORCED no-shuffle (agg of xxhash)") {
+        kb.select(xxhash64(col("src_key"), col("dst_key")).as("h")).agg(max("h")).collect()
+      }
+      time("contains-branch distinct() (count)") { kb.distinct().count() }
+      time("contains-branch dropDuplicates(3) (count)") {
+        kb.dropDuplicates("edge_type", "src_key", "dst_key").count()
+      }
+      // same shape but keys built with plain lower(translate()) not regexp
+      val kb2 = t.select(
+        lit("CONTAINS").as("edge_type"),
+        concat_ws("-", lit("conversation"),
+          lower(translate(col("conv_id"), "-", "")),
+          lower(translate(col("conv_id"), "-", "")), lit("1")).as("src_key"),
+        concat_ws("-", lit("turn"),
+          concat(lit("turn"), col("turn_idx").cast("string")),
+          lower(translate(col("conv_id"), "-", "")),
+          col("turn_idx").cast("string")).as("dst_key"),
+        lit(1.0).as("confidence"), lit("spine").as("strategy"))
+      time("translate-key branch FORCED no-shuffle") {
+        kb2.select(xxhash64(col("src_key"), col("dst_key")).as("h")).agg(max("h")).collect()
+      }
+      time("translate-key branch distinct() (count)") { kb2.distinct().count() }
+    }
+    spark.stop()
+  }
+}

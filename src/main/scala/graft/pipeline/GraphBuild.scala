@@ -87,12 +87,23 @@ object GraphBuild {
   /** Full build: nodes + edges + the raw mention table. */
   def build(spark: SparkSession, transcripts: DataFrame): Graph = {
     // Spread the corpus across shuffle.partitions tasks keyed by conv_id
-    // BEFORE caching: the raw input is often few/small parquet files (one
-    // scan task), which would serialize the regex-heavy extraction pass and
-    // every map-side stage hanging off the cache. At 100 TB the input table
-    // is already bucketed by conv_id and this is a no-op repartition.
-    val t = transcripts.repartition(col("conv_id")).cache()
-    val mentions = Mentions.extract(t).cache()
+    // BEFORE materializing: the raw input is often few/small parquet files
+    // (one scan task), which would serialize the extraction pass and every
+    // map-side stage hanging off it. At 100 TB the input table is already
+    // bucketed by conv_id and this is a no-op repartition.
+    //
+    // localCheckpoint (not cache) on the two hot tables: ~15 downstream
+    // branches hang off t/mentions, and with full lineage each branch
+    // carries the whole scan->window->extract plan through analysis + AQE
+    // re-planning — at bench scale the single-threaded driver planning
+    // dominated wall clock (~8/32 cores busy). Truncating to RDD leaves
+    // makes every branch plan O(branch), not O(pipeline). The durable-table
+    // equivalent for real clusters is CheckpointedBuild's snapshot commits.
+    val t = transcripts.repartition(col("conv_id")).localCheckpoint()
+    // ONE fused mapPartitions pass (broadcast trie) instead of the 4-branch
+    // Catalyst regex union — identical output (asserted by ExtractionSpec);
+    // the Catalyst twin remains the oracle-checked kg_mentions surface.
+    val mentions = Mentions.extractPartitioned(spark, t).toDF().localCheckpoint()
 
     val entityM = mentions.where(col("mention_type") === "Entity")
     val fnDefs = mentions.where(col("mention_type") === "FunctionDef")
@@ -153,9 +164,16 @@ object GraphBuild {
       mkNodes(importNodes0, NodeTypes.Import, lit("imports"), col("conv_id"), col("turn_idx"),
         body = col("body"))
 
+    // MERGE semantics (A6). distinct() over FULL rows, not
+    // dropDuplicates(node_key): every branch already emits key-unique rows
+    // (groupBy/distinct inputs) and branches emit disjoint node_types, so
+    // the two are equivalent — but dropDuplicates on a key subset plants
+    // First(...) object aggregates that knock the plan out of codegen'd
+    // hash aggregation into ObjectHashAggregate's sort-based fallback
+    // (threshold 128 keys) — measured 40× slower at bench scale.
     val nodes = Seq(spine, toolNodes, entityNodes, fnNodes, stubNodes, epNodes, reqNodes, importNodes)
       .reduce(_ unionByName _)
-      .dropDuplicates("node_key") // MERGE semantics (A6)
+      .distinct()
 
     // --- edges ---------------------------------------------------------
     def edge(et: String, src: Column, dst: Column, conf: Column = nullConf,
@@ -267,7 +285,11 @@ object GraphBuild {
       .unionByName(callsApi)
       .unionByName(importsE)
       .unionByName(operandE)
-      .dropDuplicates("edge_type", "src_key", "dst_key") // sorted-set dedup (D1)
+      // sorted-set dedup (D1): duplicate (type, src, dst) rows always carry
+      // identical payloads (see Oracles.scala edges CTE note), so full-row
+      // distinct() ≡ key dedup — and it stays in codegen'd hash aggregation
+      // (dropDuplicates-on-subset would object-aggregate; see nodes above)
+      .distinct()
 
     Graph(nodes, edges, mentions)
   }
