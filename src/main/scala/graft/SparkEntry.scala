@@ -207,7 +207,39 @@ object SparkEntry {
     "st_windowed_counts" -> ((s, dir) =>
       streaming.Sessions.windowedCounts(s.read.parquet(s"$dir/events.parquet"))),
     "st_sessionize" -> ((s, dir) =>
-      streaming.Sessions.sessionize(s.read.parquet(s"$dir/events.parquet")))
+      streaming.Sessions.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+    // H4 muted-state restore: flags captured on a pre-cutoff snapshot
+    // survive a full rebuild via canonical-key join
+    "kg_restore_state" -> { (s, dir) =>
+      val t = Transcripts.fromEvents(s, dir)
+      val cutoff = lit("2024-01-08").cast("timestamp")
+      val state = GraphBuild
+        .spineNodes(s, t.where(col("ts") < cutoff))
+        .where(col("node_type") === "Turn")
+        .select(col("node_key"), lit(true).as("muted"))
+      GraphOps.restoreUserState(graphOf(s, dir).nodes, state)
+        .select("node_key", "node_type", "muted")
+    },
+    // D14 endpoint grouping (mention-level, pre-key — no edge rewrite)
+    "kg_endpoint_groups" -> { (s, dir) =>
+      val eps = mentionsOf(s, dir)
+        .where(col("mention_type") === "Endpoint")
+        .select(PathNorm.canonical(PathNorm.normalizeBackend(col("path"))).as("name"),
+          col("verb"))
+        .distinct()
+      GraphOps.endpointGroups(eps)
+    },
+    // G16 raw read-only SQL passthrough over registered temp views
+    "kg_raw_sql" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      g.nodes.createOrReplaceTempView("graft_nodes")
+      g.edges.createOrReplaceTempView("graft_edges")
+      s.sql("""
+        SELECT n.node_type AS src_type, e.edge_type, count(*) AS n
+        FROM graft_edges e JOIN graft_nodes n ON n.node_key = e.src_key
+        GROUP BY n.node_type, e.edge_type
+      """)
+    }
   )
 
   private val O = Transcripts.oracle _
@@ -449,6 +481,26 @@ object SparkEntry {
         FROM embeddings e, q WHERE e.vec_id <> 0
       ) WHERE cos >= 0.2 ORDER BY cos DESC, cand_id LIMIT 20
     """,
+    "kg_restore_state" -> Oracles.withGraph(s"""
+      SELECT n.node_key, n.node_type,
+             (n.node_key IN (
+               SELECT ${Oracles.key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")}
+               FROM transcripts WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+             )) AS muted
+      FROM nodes n
+    """),
+    "kg_endpoint_groups" -> O(s"""
+      SELECT regexp_extract(name, '^(/[^/]+/[^/]+)', 1) AS grp,
+             count(*) AS n_endpoints, min(name) AS sample_path
+      FROM (SELECT DISTINCT ${Oracles.normPath} AS name, verb
+            FROM enriched WHERE role = 'tool')
+      GROUP BY 1
+    """),
+    "kg_raw_sql" -> Oracles.withGraph("""
+      SELECT n.node_type AS src_type, e.edge_type, count(*) AS n
+      FROM edges e JOIN nodes n ON n.node_key = e.src_key
+      GROUP BY n.node_type, e.edge_type
+    """),
     "st_windowed_counts" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
              count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS value_cents

@@ -61,17 +61,19 @@ object Keys {
     out.toString
   }
 
-  private val sanitizeUdf = udf((s: String) => if (s == null) null else sanitizeStr(s))
-  private val keyUdf = udf((parts: Seq[String]) => keyOfParts(parts))
+  private def keyCol(parts: Column*): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SanitizeKeyParts(parts.map(org.apache.spark.sql.GraftColumnBridge.expression))
+    )
 
-  def sanitize(c: Column): Column = sanitizeUdf(c)
+  def sanitize(c: Column): Column = keyCol(c)
 
   /** node_key = sanitize(type)-sanitize(name)-sanitize(conv)-sanitize(turn)
     * (utils.rs:82-136; verb suffix appended by caller for Endpoint/Request).
     * Name capped at 2000 chars before sanitize, key semantics per reference.
     */
   def nodeKey(nodeType: Column, name: Column, convId: Column, turnIdx: Column): Column =
-    keyUdf(array(nodeType, substring(name, 1, 2000), convId, turnIdx.cast("string")))
+    keyCol(nodeType, substring(name, 1, 2000), convId, turnIdx.cast("string"))
 
   def nodeKeyWithVerb(
       nodeType: Column,
@@ -80,7 +82,7 @@ object Keys {
       turnIdx: Column,
       verb: Column
   ): Column =
-    keyUdf(array(nodeType, substring(name, 1, 2000), convId, turnIdx.cast("string"), verb))
+    keyCol(nodeType, substring(name, 1, 2000), convId, turnIdx.cast("string"), verb)
 
   /** Deterministic ref_id (replaces UUID v4; see Scaladoc above). */
   def refId(nodeKey: Column): Column = sha2(nodeKey, 256)

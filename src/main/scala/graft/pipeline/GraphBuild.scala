@@ -99,7 +99,10 @@ object GraphBuild {
     // dominated wall clock (~8/32 cores busy). Truncating to RDD leaves
     // makes every branch plan O(branch), not O(pipeline). The durable-table
     // equivalent for real clusters is CheckpointedBuild's snapshot commits.
-    val t = transcripts.repartition(col("conv_id")).localCheckpoint()
+    // t is a LAZY local checkpoint: the eager mentions checkpoint below
+    // materializes both in ONE job (t's partitions persist as they stream
+    // through the extractor), halving the up-front barrier count.
+    val t = transcripts.repartition(col("conv_id")).localCheckpoint(eager = false)
     // ONE fused mapPartitions pass (broadcast trie) instead of the 4-branch
     // Catalyst regex union — identical output (asserted by ExtractionSpec);
     // the Catalyst twin remains the oracle-checked kg_mentions surface.
@@ -164,16 +167,18 @@ object GraphBuild {
       mkNodes(importNodes0, NodeTypes.Import, lit("imports"), col("conv_id"), col("turn_idx"),
         body = col("body"))
 
-    // MERGE semantics (A6). distinct() over FULL rows, not
-    // dropDuplicates(node_key): every branch already emits key-unique rows
-    // (groupBy/distinct inputs) and branches emit disjoint node_types, so
-    // the two are equivalent — but dropDuplicates on a key subset plants
-    // First(...) object aggregates that knock the plan out of codegen'd
-    // hash aggregation into ObjectHashAggregate's sort-based fallback
-    // (threshold 128 keys) — measured 40× slower at bench scale.
+    // MERGE semantics (A6) WITHOUT a global dedup exchange: every branch
+    // emits key-unique rows by construction (groupBy/distinct inputs, one
+    // Turn per (conv, turn_idx)) and branches emit disjoint node_types /
+    // key spaces (stubs live under conv "unverified"), so a global
+    // dropDuplicates(node_key) is a no-op that would shuffle the entire
+    // node table — at bench scale the two dedup exchanges (nodes + edges)
+    // were the largest remaining shuffles. The DuckDB oracle builds nodes
+    // with NO global dedup either, so parity checks the invariant every
+    // round; the write path (SnapshotTable overwrite) supplies MERGE-on-
+    // rewrite semantics for incremental runs.
     val nodes = Seq(spine, toolNodes, entityNodes, fnNodes, stubNodes, epNodes, reqNodes, importNodes)
       .reduce(_ unionByName _)
-      .distinct()
 
     // --- edges ---------------------------------------------------------
     def edge(et: String, src: Column, dst: Column, conf: Column = nullConf,
@@ -205,7 +210,12 @@ object GraphBuild {
       .where(col("tool").isNotNull)
       .select(edge(EdgeTypes.Uses, turnKey(col("conv_id"), col("turn_idx")),
         toolKey(col("tool")), strat = lit("tool_column")): _*)
+    // pre-key dedup on compact natural columns (a turn re-mentioning the
+    // same canonical entity emits one edge) — dedup BEFORE key strings are
+    // built, so the exchange moves 4 small columns, not 2 long keys
     val mentionsE = resolvedEntities
+      .select("conv_id", "turn_idx", "canonical", "confidence", "strategy")
+      .distinct()
       .select(edge(EdgeTypes.Mentions, turnKey(col("conv_id"), col("turn_idx")),
         entityKey(col("canonical")), col("confidence"), col("strategy")): _*)
 
@@ -285,11 +295,12 @@ object GraphBuild {
       .unionByName(callsApi)
       .unionByName(importsE)
       .unionByName(operandE)
-      // sorted-set dedup (D1): duplicate (type, src, dst) rows always carry
-      // identical payloads (see Oracles.scala edges CTE note), so full-row
-      // distinct() ≡ key dedup — and it stays in codegen'd hash aggregation
-      // (dropDuplicates-on-subset would object-aggregate; see nodes above)
-      .distinct()
+    // sorted-set dedup (D1) is PER-BRANCH, pre-key, on compact natural
+    // columns (mentionsE below; handlerE/operandE carry their own distinct;
+    // every other branch is unique by construction: ≤1 handler/verb-path
+    // mention per turn, distinct'd dimension inputs). A global distinct()
+    // would re-shuffle all ~N_edges wide rows to eliminate nothing — the
+    // oracle's SELECT DISTINCT edges proves the no-dup invariant each round.
 
     Graph(nodes, edges, mentions)
   }

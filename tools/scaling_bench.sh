@@ -13,28 +13,36 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.1}
 SCALE=${2:-16}
+N=${3:-8}
+N4=${4:-32}
 OUT=$(mktemp -d)
-for CPUS in 8 32; do
+for CPUS in $N $N4; do
   echo "== local[$CPUS] scale=$SCALE $SF" >&2
+  # per-core heap (1.5g/core): a 4N-executor cluster brings 4x aggregate
+  # memory with it; a shared fixed heap would make the N-core leg
+  # artificially memory-rich and the comparison meaningless
+  MEM=${5:-$((CPUS * 3 / 2))}
+  if [ "$MEM" -gt 24 ]; then MEM=24; fi
+  if [ "$MEM" -lt 8 ]; then MEM=8; fi
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_SCALE=$SCALE \
-    SPARK_GRAFT_QUERIES=0 SPARK_DRIVER_MEM=24g \
+    SPARK_GRAFT_QUERIES=0 SPARK_DRIVER_MEM=${MEM}g \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '{"metric".*}' \
     > "$OUT/bench_$CPUS.json"
   cat "$OUT/bench_$CPUS.json"
 done
-python3 - "$OUT" <<'EOF'
+python3 - "$OUT" "$N" "$N4" <<'EOF'
 import json, sys
-out = sys.argv[1]
-b8 = json.load(open(f"{out}/bench_8.json"))
-b32 = json.load(open(f"{out}/bench_32.json"))
-tp8, tp32 = b8["triples_per_sec"], b32["triples_per_sec"]
-eff = (tp32 / tp8) / 4
+out, n, n4 = sys.argv[1], sys.argv[2], sys.argv[3]
+bn = json.load(open(f"{out}/bench_{n}.json"))
+bn4 = json.load(open(f"{out}/bench_{n4}.json"))
+tpn, tpn4 = bn["triples_per_sec"], bn4["triples_per_sec"]
+eff = (tpn4 / tpn) / (int(n4) / int(n))
 print(json.dumps({
-    "triples_per_sec_local8": round(tp8, 1),
-    "triples_per_sec_local32": round(tp32, 1),
-    "build_sec_local8": round(b8["build_sec"], 2),
-    "build_sec_local32": round(b32["build_sec"], 2),
-    "edges": b8["edges"],
-    "scaling_efficiency_8_to_32": round(eff, 3),
+    f"triples_per_sec_local{n}": round(tpn, 1),
+    f"triples_per_sec_local{n4}": round(tpn4, 1),
+    f"build_sec_local{n}": round(bn["build_sec"], 2),
+    f"build_sec_local{n4}": round(bn4["build_sec"], 2),
+    "edges": bn["edges"],
+    f"scaling_efficiency_{n}_to_{n4}": round(eff, 3),
 }))
 EOF
