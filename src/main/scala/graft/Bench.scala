@@ -43,7 +43,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1").toInt
+    // default replication 16 (~1.6M turns at sf0.1): the headline build is
+    // otherwise too small to outrun fixed per-stage overhead on 32 cores
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val spark = SparkSession
       .builder()
