@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.canon.Canon
-import graft.datapipe.{Ann, DocDedup, Multimodal, TextStats}
+import graft.datapipe.{Ann, Backfill, DocDedup, Multimodal, TextStats}
 import graft.extract.Mentions
 import graft.sources.Transcripts
 
@@ -50,6 +50,10 @@ object DatapipeEntries {
     // the Catalyst twin, so it shares the same oracle SQL
     "dp_media_features_mp" -> ((s, dir) =>
       Multimodal.stubDecode(s, Multimodal.asBinary(docs(s, dir))).toDF()),
+
+    // --- H5 embeddings backfill (batched mapPartitions over null vectors) -
+    "dp_backfill_embeddings" -> ((s, dir) =>
+      Backfill.backfill(s, Backfill.markMissing(emb(s, dir))).toDF()),
 
     // --- similarity search ------------------------------------------------
     "dp_ann_dot" -> ((s, dir) => Ann.bruteTopKDot(emb(s, dir), 8, 5)),
@@ -225,6 +229,14 @@ SELECT doc_id,
 FROM documents""",
     "dp_media_features" -> mediaSql,
     "dp_media_features_mp" -> mediaSql,
+    "dp_backfill_embeddings" -> """
+SELECT vec_id, label,
+       CASE WHEN vec_id % 7 = 0
+            THEN list_transform(range(0, 64),
+                 i -> CAST((vec_id*31 + i) % 997 AS REAL) / CAST(997 AS REAL))
+            ELSE embedding END AS embedding,
+       (vec_id % 7 = 0) AS backfilled
+FROM embeddings""",
     "dp_ann_dot" -> s"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
 scored AS (

@@ -74,6 +74,14 @@ object SparkEntry {
         mentionsOf(s, dir).where(col("mention_type") === "Entity")
       )
     },
+    // north-rule skew defense: identical resolution through the salted
+    // shuffle join (hot entity fans across 8 reducers) — same oracle
+    "kg_resolve_entities_salted" -> { (s, dir) =>
+      CallResolver.resolveEntitiesSalted(
+        s,
+        mentionsOf(s, dir).where(col("mention_type") === "Entity")
+      )
+    },
 
     // E1–E3 path normalization + Request→Endpoint linking
     "kg_link_api" -> { (s, dir) =>
@@ -244,6 +252,22 @@ object SparkEntry {
 
   private val O = Transcripts.oracle _
 
+  private lazy val oracleSqlEntities: String = O(s"""
+      , dict(name, canonical) AS (VALUES ${graft.extract.Dictionary.aliasToCanonical.toSeq.sorted
+      .map { case (a, c) => s"('$a','$c')" }
+      .mkString(", ")}),
+      ments AS (
+        SELECT conv_id, turn_idx, alias AS name FROM enriched
+        UNION ALL
+        SELECT conv_id, turn_idx, 'SparkEngine' FROM enriched WHERE (event_id % 3) = 0
+        UNION ALL
+        SELECT conv_id, turn_idx, alias2 FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
+      )
+      SELECT m.conv_id, m.turn_idx, m.name, d.canonical,
+             CAST(1.0 AS DOUBLE) AS confidence, 'alias_dict' AS strategy
+      FROM ments m JOIN dict d ON d.name = m.name
+    """)
+
   def oracleSql: Map[String, String] = DatapipeEntries.oracleSql ++ Map(
     "kg_transcripts" -> O(
       "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
@@ -307,21 +331,9 @@ object SparkEntry {
       LEFT JOIN byuser bu
         ON bu.name = c.name AND bu.user_prefix = substr(c.conv_id, 1, 11)
     """),
-    "kg_resolve_entities" -> O(s"""
-      , dict(name, canonical) AS (VALUES ${graft.extract.Dictionary.aliasToCanonical.toSeq.sorted
-        .map { case (a, c) => s"('$a','$c')" }
-        .mkString(", ")}),
-      ments AS (
-        SELECT conv_id, turn_idx, alias AS name FROM enriched
-        UNION ALL
-        SELECT conv_id, turn_idx, 'SparkEngine' FROM enriched WHERE (event_id % 3) = 0
-        UNION ALL
-        SELECT conv_id, turn_idx, alias2 FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
-      )
-      SELECT m.conv_id, m.turn_idx, m.name, d.canonical,
-             CAST(1.0 AS DOUBLE) AS confidence, 'alias_dict' AS strategy
-      FROM ments m JOIN dict d ON d.name = m.name
-    """),
+    // salted-join twin produces the identical result — same oracle
+    "kg_resolve_entities_salted" -> oracleSqlEntities,
+    "kg_resolve_entities" -> oracleSqlEntities,
     "kg_link_api" -> O("""
       , reqs AS (
         SELECT conv_id, turn_idx, verb,

@@ -90,4 +90,27 @@ object CallResolver {
       .withColumn("strategy", lit("alias_dict"))
       .select("conv_id", "turn_idx", "name", "canonical", "confidence", "strategy")
   }
+
+  /** [[resolveEntities]] through the salted shuffle join (north rule's
+    * hot-entity skew defense, Cascade.saltedJoin): the dictionary build side
+    * is replicated S ways and the probe key salted by hash(conv_id), so the
+    * hot entity (~1/3 of all turns) fans across S reducers instead of one
+    * straggler. Used when the entity dimension outgrows broadcast; output is
+    * identical to the broadcast path (same DuckDB oracle, CascadeSpec).
+    */
+  def resolveEntitiesSalted(spark: SparkSession, entityMentions: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dict = Dictionary.aliasToCanonical.toSeq.toDF("name", "canonical")
+    Cascade
+      .saltedJoin(
+        entityMentions.select("conv_id", "turn_idx", "name"),
+        dict,
+        "name",
+        col("conv_id"),
+        salts = 8
+      )
+      .withColumn("confidence", lit(1.0))
+      .withColumn("strategy", lit("alias_dict"))
+      .select("conv_id", "turn_idx", "name", "canonical", "confidence", "strategy")
+  }
 }
