@@ -51,9 +51,28 @@ object DatapipeEntries {
     "dp_media_features_mp" -> ((s, dir) =>
       Multimodal.stubDecode(s, Multimodal.asBinary(docs(s, dir))).toDF()),
 
-    // --- H5 embeddings backfill (batched mapPartitions over null vectors) -
+    // --- H5 embeddings backfill (batched mapPartitions over null vectors).
+    // The raw array column is unsortable by the driver's pandas comparer
+    // (round-1 oracle err), so the checked surface is a quantized md5 of the
+    // vector: floor(x*1e6) per component is integer-exact on both engines.
     "dp_backfill_embeddings" -> ((s, dir) =>
-      Backfill.backfill(s, Backfill.markMissing(emb(s, dir))).toDF()),
+      Backfill
+        .backfill(s, Backfill.markMissing(emb(s, dir)))
+        .toDF()
+        .select(
+          col("vec_id"),
+          col("label"),
+          md5(
+            array_join(
+              transform(
+                col("embedding"),
+                x => floor(x.cast("double") * 1000000).cast("bigint").cast("string")
+              ),
+              ","
+            ).cast("binary")
+          ).as("emb_hash"),
+          col("backfilled")
+        )),
 
     // --- similarity search ------------------------------------------------
     "dp_ann_dot" -> ((s, dir) => Ann.bruteTopKDot(emb(s, dir), 8, 5)),
@@ -96,9 +115,13 @@ sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
 banded AS ($bands)"""
   }
 
+  // CAST the list_sum to BIGINT: DuckDB's sum over integers returns HUGEINT,
+  // which pandas widens to float64 — the round-1 hash-mismatch root cause for
+  // dp_ann_dot/dp_ann_ivf (and, via plain sum(), dp_langid / kg_code_concat /
+  // st_windowed_counts). int64 on both sides hashes identically.
   private val dotSql =
-    "list_sum(list_transform(list_zip(%s, %s), s -> " +
-      "CAST(floor(CAST(s[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(s[2] AS DOUBLE)*1000) AS BIGINT)))"
+    "CAST(list_sum(list_transform(list_zip(%s, %s), s -> " +
+      "CAST(floor(CAST(s[1] AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(s[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT)"
   private def dot(a: String, b: String) = dotSql.format(a, b)
 
   private val simhashVotes = (0 until 32)
@@ -203,7 +226,7 @@ WITH t0 AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
 ), t1 AS (SELECT doc_id, tok FROM t0 WHERE length(tok) > 0)
 SELECT doc_id, count(*) AS n_tokens,
-       sum(CASE WHEN tok IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS n_stop,
+       CAST(sum(CASE WHEN tok IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
        CAST(sum(CASE WHEN tok IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS DOUBLE)
          / count(*) AS stop_ratio,
        CASE WHEN CAST(sum(CASE WHEN tok IN ('the','a','of','and','is','to','in') THEN 1 ELSE 0 END) AS DOUBLE)
@@ -230,13 +253,20 @@ FROM documents""",
     "dp_media_features" -> mediaSql,
     "dp_media_features_mp" -> mediaSql,
     "dp_backfill_embeddings" -> """
+WITH filled AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 7 = 0
+              THEN list_transform(range(0, 64),
+                   i -> CAST((vec_id*31 + i) % 997 AS REAL) / CAST(997 AS REAL))
+              ELSE embedding END AS embedding,
+         (vec_id % 7 = 0) AS backfilled
+  FROM embeddings
+)
 SELECT vec_id, label,
-       CASE WHEN vec_id % 7 = 0
-            THEN list_transform(range(0, 64),
-                 i -> CAST((vec_id*31 + i) % 997 AS REAL) / CAST(997 AS REAL))
-            ELSE embedding END AS embedding,
-       (vec_id % 7 = 0) AS backfilled
-FROM embeddings""",
+       md5(array_to_string(list_transform(embedding,
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) AS VARCHAR)), ',')) AS emb_hash,
+       backfilled
+FROM filled""",
     "dp_ann_dot" -> s"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
 scored AS (

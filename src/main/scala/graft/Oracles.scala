@@ -205,4 +205,42 @@ object Oracles {
 
   def withGraph(body: String): String =
     Transcripts.oracleCte + graphCte + "\n" + body
+
+  /** G10 pagerank oracle: the fixed 20-iteration loop unrolled into chained
+    * (non-recursive) CTEs — same damping/dangling-mass formula as
+    * [[graft.query.Query.pagerank]]. Double sums in different aggregation
+    * orders drift ~1e-14 relative; both sides round to 6 decimals, so the
+    * hash compares the identical decimal.
+    */
+  val pagerankCte: String = {
+    val iters = (1 to 20).map { k =>
+      s"""
+, pr$k AS MATERIALIZED (
+  SELECT p.node_key,
+    0.15 + 0.85 * (coalesce(c.c, CAST(0.0 AS DOUBLE)) + dm.dmass / pc.n) AS rank
+  FROM pn p
+  CROSS JOIN pcount pc
+  CROSS JOIN (SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dmass
+              FROM pr${k - 1} r JOIN pdangle d ON d.node_key = r.node_key) dm
+  LEFT JOIN (SELECT l.dst_key AS node_key, sum(r.rank / l.out_deg) AS c
+             FROM pr${k - 1} r JOIN plinks l ON l.src_key = r.node_key GROUP BY 1) c
+    ON c.node_key = p.node_key
+)"""
+    }.mkString
+    s"""
+, pn AS MATERIALIZED (SELECT node_key FROM nodes WHERE node_type IN ('Request','Endpoint','Function'))
+, pe AS MATERIALIZED (
+    SELECT e.src_key, e.dst_key FROM edges e
+    JOIN pn s ON s.node_key = e.src_key
+    JOIN pn d ON d.node_key = e.dst_key
+    WHERE e.edge_type IN ('CALLS','HANDLER')
+)
+, pdeg AS (SELECT src_key, CAST(count(*) AS DOUBLE) AS out_deg FROM pe GROUP BY 1)
+, plinks AS MATERIALIZED (SELECT e.src_key, e.dst_key, d.out_deg FROM pe e JOIN pdeg d ON d.src_key = e.src_key)
+, pdangle AS MATERIALIZED (SELECT node_key FROM pn WHERE node_key NOT IN (SELECT src_key FROM pe))
+, pcount AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pn)
+, pr0 AS MATERIALIZED (SELECT node_key, CAST(1.0 AS DOUBLE) AS rank FROM pn)
+$iters
+SELECT node_key, round(rank, 6) AS rank FROM pr20"""
+  }
 }

@@ -161,7 +161,7 @@ object SparkEntry {
       val g = graphOf(s, dir); Query.coverage(g.nodes, g.edges)
     }),
     // G10 pagerank over the projected Request->Endpoint->Function graph
-    // (no SQL oracle — iterative; rows-only check + PageRankSpec)
+    // (oracle: the 20-iteration loop unrolled as chained CTEs)
     "kg_pagerank" -> { (s, dir) =>
       val g = graphOf(s, dir)
       val proj = g.nodes.where(col("node_type").isin("Request", "Endpoint", "Function"))
@@ -439,6 +439,7 @@ object SparkEntry {
       WHERE node_key = ${Oracles.key4("'Entity'", "'kafka'", "''", "-1")}
       GROUP BY node_key
     """),
+    "kg_pagerank" -> Oracles.withGraph(Oracles.pagerankCte),
     "kg_hybrid_search" -> Oracles.withGraph("""
       , tsearch AS (
         SELECT node_key, CAST(score AS DOUBLE) AS score FROM (
@@ -473,7 +474,7 @@ object SparkEntry {
     """),
     "kg_code_concat" -> O("""
       SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS code,
-             sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS token_count
+             CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS token_count
       FROM transcripts GROUP BY conv_id
     """),
     "kg_tool_inventory" -> O("""
@@ -515,7 +516,7 @@ object SparkEntry {
     """),
     "st_windowed_counts" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
-             count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+             count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events GROUP BY 1, 2
     """,
     "st_sessionize" -> """
