@@ -50,6 +50,29 @@ object Oracles {
     SELECT name, min(def_conv) AS resolved_conv
     FROM defs GROUP BY name HAVING count(DISTINCT def_conv) = 1
 )
+, conv_tools AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL)
+, def_tools AS (
+    SELECT DISTINCT alias || '_handler' AS name, tool, conv_id AS def_conv
+    FROM enriched WHERE role = 'tool'
+)
+, imp AS (
+    SELECT c.conv_id, d.name, min(d.def_conv) AS resolved_conv
+    FROM conv_tools c JOIN def_tools d ON d.tool = c.tool
+    GROUP BY 1, 2
+)
+, defcanon AS (
+    SELECT canonical, resolved_conv, min(name) AS resolved_name FROM (
+      SELECT dc.canonical, d.name, d.def_conv,
+             min(d.def_conv) OVER (PARTITION BY dc.canonical) AS resolved_conv
+      FROM defs d
+      JOIN dict dc ON dc.alias_name = regexp_replace(d.name, '_handler$$', '')
+    ) WHERE def_conv = resolved_conv
+    GROUP BY 1, 2
+)
+, bydate AS (
+    SELECT name, substr(def_conv, 13, 8) AS date_part, min(def_conv) AS resolved_conv
+    FROM defs GROUP BY 1, 2
+)
 , byuser AS (
     SELECT name, substr(def_conv, 1, 11) AS user_prefix, min(def_conv) AS resolved_conv
     FROM defs GROUP BY 1, 2
@@ -58,20 +81,36 @@ object Oracles {
     SELECT c.conv_id, c.turn_idx, c.name,
       CASE WHEN gu.name IS NOT NULL THEN gu.resolved_conv
            WHEN sc.name IS NOT NULL THEN c.conv_id
+           WHEN im.name IS NOT NULL THEN im.resolved_conv
+           WHEN oc.canonical IS NOT NULL THEN oc.resolved_conv
+           WHEN nv.name IS NOT NULL THEN nv.resolved_conv
            WHEN bu.name IS NOT NULL THEN bu.resolved_conv
            ELSE 'unverified' END AS resolved_conv,
+      CASE WHEN gu.name IS NULL AND sc.name IS NULL AND im.name IS NULL
+                AND oc.canonical IS NOT NULL THEN oc.resolved_name
+           ELSE c.name END AS resolved_name,
       CAST(CASE WHEN gu.name IS NOT NULL THEN 0.90
            WHEN sc.name IS NOT NULL THEN 0.85
+           WHEN im.name IS NOT NULL THEN 0.80
+           WHEN oc.canonical IS NOT NULL THEN 0.70
+           WHEN nv.name IS NOT NULL THEN 0.60
            WHEN bu.name IS NOT NULL THEN 0.45
            ELSE 0.35 END AS DOUBLE) AS confidence,
       CASE WHEN gu.name IS NOT NULL THEN 'global_unique'
            WHEN sc.name IS NOT NULL THEN 'same_conv'
+           WHEN im.name IS NOT NULL THEN 'import'
+           WHEN oc.canonical IS NOT NULL THEN 'operand'
+           WHEN nv.name IS NOT NULL THEN 'nested_var'
            WHEN bu.name IS NOT NULL THEN 'same_dir'
            ELSE 'unverified' END AS strategy
     FROM calls c
     LEFT JOIN gu ON gu.name = c.name
     LEFT JOIN (SELECT DISTINCT name, def_conv FROM defs) sc
       ON sc.name = c.name AND sc.def_conv = c.conv_id
+    LEFT JOIN imp im ON im.conv_id = c.conv_id AND im.name = c.name
+    LEFT JOIN dict cd ON cd.alias_name = regexp_replace(c.name, '_handler$$', '')
+    LEFT JOIN defcanon oc ON oc.canonical = cd.canonical
+    LEFT JOIN bydate nv ON nv.name = c.name AND nv.date_part = substr(c.conv_id, 13, 8)
     LEFT JOIN byuser bu
       ON bu.name = c.name AND bu.user_prefix = substr(c.conv_id, 1, 11)
 )
@@ -157,9 +196,10 @@ object Oracles {
     SELECT 'CALLS', ${key4("'Turn'", "'turn-' || CAST(r.turn_idx AS VARCHAR)", "r.conv_id", "r.turn_idx")},
            CASE WHEN f.name IS NULL
                 THEN ${key4("'Function'", "r.name", "'unverified'", "-1")}
-                ELSE ${key4("'Function'", "r.name", "f.conv_id", "f.turn_idx")} END,
+                ELSE ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")} END,
            r.confidence, r.strategy
-    FROM rcalls r LEFT JOIN fn_nodes f ON f.name = r.name AND f.conv_id = r.resolved_conv
+    FROM rcalls r LEFT JOIN fn_nodes f
+      ON f.name = r.resolved_name AND f.conv_id = r.resolved_conv
     UNION ALL
     SELECT DISTINCT 'HANDLER', ${key5("'Endpoint'", normPath, "''", "-1", "verb")},
            ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")},

@@ -49,7 +49,7 @@ object Probe {
     val calls = m.where(col("mention_type") === "FunctionCall")
     val defs = m.where(col("mention_type") === "FunctionDef")
     val rc = time("resolveCalls (count)") {
-      val x = CallResolver.resolveCalls(calls, defs).localCheckpoint(); x.count(); x
+      val x = CallResolver.resolveCalls(calls, defs, t).localCheckpoint(); x.count(); x
     }
     time("resolveEntities (count)") {
       CallResolver.resolveEntities(spark, m.where(col("mention_type") === "Entity")).count()

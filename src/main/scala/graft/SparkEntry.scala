@@ -28,7 +28,8 @@ object SparkEntry {
     val m = Mentions.extract(t).cache()
     CallResolver.resolveCalls(
       m.where(col("mention_type") === "FunctionCall"),
-      m.where(col("mention_type") === "FunctionDef")
+      m.where(col("mention_type") === "FunctionDef"),
+      t
     )
   }
 
@@ -60,10 +61,12 @@ object SparkEntry {
 
     // C1/C2 resolution cascade with confidence + strategy provenance
     "kg_resolve_calls" -> { (s, dir) =>
-      val m = mentionsOf(s, dir).cache()
+      val t = Transcripts.fromEvents(s, dir)
+      val m = Mentions.extract(t).cache()
       CallResolver.resolveCalls(
         m.where(col("mention_type") === "FunctionCall"),
-        m.where(col("mention_type") === "FunctionDef")
+        m.where(col("mention_type") === "FunctionDef"),
+        t
       )
     },
 
@@ -297,39 +300,10 @@ object SparkEntry {
       SELECT conv_id, turn_idx, 'Tool', tool, NULL, NULL
       FROM enriched WHERE tool IS NOT NULL
     """),
-    "kg_resolve_calls" -> O("""
-      , calls AS (
-        SELECT conv_id, turn_idx, alias2 || '_handler' AS name
-        FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
-      ), defs AS (
-        SELECT DISTINCT alias || '_handler' AS name, conv_id AS def_conv
-        FROM enriched WHERE role = 'tool'
-      ), gu AS (
-        SELECT name, min(def_conv) AS resolved_conv
-        FROM defs GROUP BY name HAVING count(DISTINCT def_conv) = 1
-      ), byuser AS (
-        SELECT name, substr(def_conv, 1, 11) AS user_prefix, min(def_conv) AS resolved_conv
-        FROM defs GROUP BY 1, 2
-      )
-      SELECT c.conv_id, c.turn_idx, c.name,
-        CASE WHEN gu.name IS NOT NULL THEN gu.resolved_conv
-             WHEN sc.name IS NOT NULL THEN c.conv_id
-             WHEN bu.name IS NOT NULL THEN bu.resolved_conv
-             ELSE 'unverified' END AS resolved_conv,
-        CAST(CASE WHEN gu.name IS NOT NULL THEN 0.90
-             WHEN sc.name IS NOT NULL THEN 0.85
-             WHEN bu.name IS NOT NULL THEN 0.45
-             ELSE 0.35 END AS DOUBLE) AS confidence,
-        CASE WHEN gu.name IS NOT NULL THEN 'global_unique'
-             WHEN sc.name IS NOT NULL THEN 'same_conv'
-             WHEN bu.name IS NOT NULL THEN 'same_dir'
-             ELSE 'unverified' END AS strategy
-      FROM calls c
-      LEFT JOIN gu ON gu.name = c.name
-      LEFT JOIN (SELECT DISTINCT name, def_conv FROM defs) sc
-        ON sc.name = c.name AND sc.def_conv = c.conv_id
-      LEFT JOIN byuser bu
-        ON bu.name = c.name AND bu.user_prefix = substr(c.conv_id, 1, 11)
+    // the 7-strategy cascade oracle is the shared rcalls CTE (Oracles.graphCte)
+    "kg_resolve_calls" -> Oracles.withGraph("""
+      SELECT conv_id, turn_idx, name, resolved_conv, resolved_name, confidence, strategy
+      FROM rcalls
     """),
     // salted-join twin produces the identical result — same oracle
     "kg_resolve_entities_salted" -> oracleSqlEntities,

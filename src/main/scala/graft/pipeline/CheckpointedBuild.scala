@@ -43,7 +43,7 @@ object CheckpointedBuild {
     val calls = mentions.where(col("mention_type") === "FunctionCall")
     val defs = mentions.where(col("mention_type") === "FunctionDef")
     val resolvedCalls = r.run("resolved_calls", "strategy")(
-      CallResolver.resolveCalls(calls, defs)
+      CallResolver.resolveCalls(calls, defs, t)
     )
     val resolvedEntities = r.run("resolved_entities", "strategy")(
       CallResolver.resolveEntities(spark, mentions.where(col("mention_type") === "Entity"))

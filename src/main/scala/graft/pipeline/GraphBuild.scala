@@ -116,7 +116,7 @@ object GraphBuild {
     val tools = mentions.where(col("mention_type") === "Tool")
 
     val resolvedEntities = CallResolver.resolveEntities(spark, entityM)
-    val resolvedCalls = CallResolver.resolveCalls(fnCalls, fnDefs).cache()
+    val resolvedCalls = CallResolver.resolveCalls(fnCalls, fnDefs, t).cache()
     val apiLinks = PathNorm.linkApi(requests, endpoints)
 
     // --- nodes ---------------------------------------------------------
@@ -220,16 +220,21 @@ object GraphBuild {
         entityKey(col("canonical")), col("confidence"), col("strategy")): _*)
 
     // CALLS: calling turn -> resolved function node (first def turn in the
-    // resolved conversation) or unverified stub (D13 semantics)
+    // resolved conversation) or unverified stub (D13 semantics). The join is
+    // on resolved_name: the operand strategy can retarget a call to a
+    // sibling handler of the same canonical entity.
     val fnFirstDef = fnNodes0.select(col("name"), col("conv_id").as("resolved_conv"),
       col("turn_idx").as("def_turn"))
     val callsFn = resolvedCalls
-      .join(fnFirstDef, Seq("name", "resolved_conv"), "left")
+      .join(
+        fnFirstDef.withColumnRenamed("name", "resolved_name"),
+        Seq("resolved_name", "resolved_conv"),
+        "left")
       .select(edge(
         EdgeTypes.Calls,
         turnKey(col("conv_id"), col("turn_idx")),
         when(col("def_turn").isNull, fnKey(col("name"), lit("unverified"), lit(-1)))
-          .otherwise(fnKey(col("name"), col("resolved_conv"), col("def_turn"))),
+          .otherwise(fnKey(col("resolved_name"), col("resolved_conv"), col("def_turn"))),
         col("confidence"), col("strategy")): _*)
 
     // HANDLER: endpoint identity -> handler function of the declaring turn

@@ -7,9 +7,13 @@ import graft.extract.Dictionary
 /** Concrete cascade instances for the transcript KG.
   *
   *  - [[resolveCalls]]: FunctionCall mentions -> defining conversation, via
-  *    global_unique (0.90) -> same_conv (0.85) -> same_dir/same-user (0.45)
+  *    global_unique (0.90) -> same_conv (0.85) -> import (0.80) ->
+  *    operand (0.70) -> nested_var (0.60) -> same_dir/same-user (0.45)
   *    -> unverified (0.35). Exact analog of call_finder.rs:41-128 with
-  *    file := conversation and directory := user (conv_id prefix).
+  *    file := conversation and directory := user (conv_id prefix); the
+  *    type_resolved (1.0) head of the reference cascade is the dictionary
+  *    path, [[resolveEntities]] — together the 7 strategies + fallback
+  *    carry the reference's full confidence ladder.
   *  - [[resolveEntities]]: Entity mentions -> canonical entity id via the
   *    broadcast alias dictionary (type_resolved analog, conf 1.0,
   *    registry resolve_call_at — format.rs:1031-1046). The dictionary join is
@@ -20,11 +24,19 @@ import graft.extract.Dictionary
   */
 object CallResolver {
 
-  /** defs: FunctionDef mentions (conv_id, name). calls: FunctionCall
-    * mentions (conv_id, turn_idx, name). Output: (conv_id, turn_idx, name,
-    * resolved_conv, confidence, strategy).
+  /** defs: FunctionDef mentions (conv_id, turn_idx, name). calls:
+    * FunctionCall mentions (conv_id, turn_idx, name). transcripts: the
+    * six-column corpus (supplies the per-conversation import/tool map for
+    * the `import` strategy, C3). Output: (conv_id, turn_idx, name,
+    * resolved_conv, resolved_name, confidence, strategy) — resolved_name
+    * differs from name only for the `operand` strategy, which resolves
+    * through the alias dictionary to a sibling handler of the same
+    * canonical entity (the receiver's data_type, call_finder.rs:90-108).
     */
-  def resolveCalls(calls: DataFrame, defs: DataFrame): DataFrame = {
+  def resolveCalls(calls: DataFrame, defs: DataFrame, transcripts: DataFrame): DataFrame = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val sameName = (df: DataFrame) => df.withColumn("resolved_name", col("name"))
     val defConvs = defs.select(col("name"), col("conv_id").as("def_conv")).distinct()
 
     // global_unique (call_finder.rs:69-84: name unique among non-empty
@@ -34,6 +46,50 @@ object CallResolver {
       .agg(count(lit(1)).as("n"), min("def_conv").as("resolved_conv"))
       .where(col("n") === 1)
       .drop("n")
+
+    // import (0.80, call_finder.rs:90-98 attempt 3 + IMPORT_CACHE
+    // call_finder.rs:130-218): the calling conversation's import section =
+    // the distinct tools its turns used; a def is importable if its defining
+    // turn ran one of those tools. Resolve to the smallest importable conv.
+    val convTools = transcripts
+      .where(col("tool").isNotNull)
+      .select(col("conv_id"), col("tool"))
+      .distinct()
+    val defTools = defs
+      .select("conv_id", "turn_idx", "name")
+      .join(
+        transcripts
+          .where(col("tool").isNotNull)
+          .select(col("conv_id"), col("turn_idx"), col("tool")),
+        Seq("conv_id", "turn_idx")
+      )
+      .select(col("name"), col("tool"), col("conv_id").as("def_conv"))
+      .distinct()
+
+    // operand (0.70, call_finder.rs:99-108 attempt 5): resolve through the
+    // receiver's type — strip the _handler suffix, map the alias to its
+    // canonical entity (Instance.data_type analog), and take the smallest
+    // (conv, name) handler of the SAME canonical entity. The target name can
+    // differ from the call name, hence resolved_name.
+    val dict = Dictionary.aliasToCanonical.toSeq.toDF("alias", "canonical")
+    val defCanon = defConvs
+      .withColumn("alias", regexp_replace(col("name"), "_handler$", ""))
+      .join(broadcast(dict), Seq("alias"))
+      .groupBy("canonical")
+      .agg(min(struct(col("def_conv"), col("name"))).as("m"))
+      .select(
+        col("canonical"),
+        col("m.def_conv").as("resolved_conv"),
+        col("m.name").as("resolved_name")
+      )
+
+    // nested_var (0.60, call_finder.rs:109-118 attempt 6): the enclosing
+    // scope — the corpus is partitioned by day, so the call's enclosing
+    // date partition plays the enclosing-var role; smallest same-date conv.
+    val byDate = defConvs
+      .withColumn("date_part", substring(col("def_conv"), 13, 8))
+      .groupBy("name", "date_part")
+      .agg(min("def_conv").as("resolved_conv"))
 
     // same_dir analog: same user = conv_id prefix "conv-XXXXXX"; pick the
     // lexicographically smallest defining conv for determinism.
@@ -46,28 +102,65 @@ object CallResolver {
       Cascade.Strategy(
         "global_unique",
         0.90,
-        rem => rem.join(broadcast(globallyUnique), Seq("name"))
+        rem => sameName(rem.join(broadcast(globallyUnique), Seq("name")))
       ),
       Cascade.Strategy(
         "same_conv",
         0.85,
         rem =>
+          sameName(
+            rem
+              .join(
+                defConvs.select(col("name"), col("def_conv").as("conv_id")).distinct(),
+                Seq("name", "conv_id"),
+                "left_semi"
+              )
+              .withColumn("resolved_conv", col("conv_id"))
+          )
+      ),
+      Cascade.Strategy(
+        "import",
+        0.80,
+        rem =>
+          sameName(
+            rem
+              .join(convTools, Seq("conv_id"))
+              .join(defTools, Seq("name", "tool"))
+              .groupBy("conv_id", "turn_idx", "name")
+              .agg(min("def_conv").as("resolved_conv"))
+          )
+      ),
+      Cascade.Strategy(
+        "operand",
+        0.70,
+        rem =>
           rem
-            .join(
-              defConvs.select(col("name"), col("def_conv").as("conv_id")).distinct(),
-              Seq("name", "conv_id"),
-              "left_semi"
-            )
-            .withColumn("resolved_conv", col("conv_id"))
+            .withColumn("alias", regexp_replace(col("name"), "_handler$", ""))
+            .join(broadcast(dict), Seq("alias"))
+            .join(broadcast(defCanon), Seq("canonical"))
+            .drop("alias", "canonical")
+      ),
+      Cascade.Strategy(
+        "nested_var",
+        0.60,
+        rem =>
+          sameName(
+            rem
+              .withColumn("date_part", substring(col("conv_id"), 13, 8))
+              .join(byDate, Seq("name", "date_part"))
+              .drop("date_part")
+          )
       ),
       Cascade.Strategy(
         "same_dir",
         0.45,
         rem =>
-          rem
-            .withColumn("user_prefix", substring(col("conv_id"), 1, 11))
-            .join(byUser, Seq("name", "user_prefix"))
-            .drop("user_prefix")
+          sameName(
+            rem
+              .withColumn("user_prefix", substring(col("conv_id"), 1, 11))
+              .join(byUser, Seq("name", "user_prefix"))
+              .drop("user_prefix")
+          )
       )
     )
 
@@ -75,8 +168,10 @@ object CallResolver {
       calls.select("conv_id", "turn_idx", "name"),
       Seq("conv_id", "turn_idx", "name"),
       strategies,
-      fallback = Some(rem => rem.withColumn("resolved_conv", lit("unverified")))
-    ).select("conv_id", "turn_idx", "name", "resolved_conv", "confidence", "strategy")
+      fallback = Some(rem => sameName(rem.withColumn("resolved_conv", lit("unverified"))))
+    ).select(
+      "conv_id", "turn_idx", "name", "resolved_conv", "resolved_name", "confidence", "strategy"
+    )
   }
 
   /** Entity mentions -> canonical ids via broadcast dictionary (conf 1.0). */

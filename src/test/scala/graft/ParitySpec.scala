@@ -85,20 +85,45 @@ class ParitySpec extends SparkSpec {
     val firstDefTurn: Map[(String, String), Int] =
       defs.groupBy(m => (m.name, m.conv)).map { case (k, ms) => k -> ms.map(_.idx).min }
 
+    // 7-strategy cascade (call_finder.rs:41-128 order and confidences)
+    val toolAt0: Map[(String, Int), String] =
+      rows.collect { case r if r.tool.isDefined => (r.conv, r.idx) -> r.tool.get }.toMap
+    val convTools: Map[String, Set[String]] =
+      rows.filter(_.tool.isDefined).groupBy(_.conv).map { case (c, rs) =>
+        c -> rs.map(_.tool.get).toSet
+      }
+    // def name -> set of (tool of its defining turn, def conv)
+    val defToolConvs: Map[String, Set[(String, String)]] =
+      defs.flatMap(d => toolAt0.get((d.conv, d.idx)).map(tl => (d.name, tl, d.conv)))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(x => (x._2, x._3)).toSet }
+    // canonical entity -> lexicographically smallest (def conv, def name)
+    val canonDefs: Map[String, (String, String)] = defs
+      .flatMap { d =>
+        dict.get(d.name.replaceAll("_handler$", "")).map(c => c -> (d.conv, d.name))
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+
     fns.filter(!_.isDef).foreach { c =>
       val convs = defConvs.getOrElse(c.name, Set.empty)
-      val (resolvedConv, conf, strat) =
-        if (convs.size == 1) (convs.head, 0.90, "global_unique")
-        else if (convs.contains(c.conv)) (c.conv, 0.85, "same_conv")
-        else {
-          val prefix = c.conv.substring(0, 11)
-          val sameUser = convs.filter(_.startsWith(prefix))
-          if (sameUser.nonEmpty) (sameUser.min, 0.45, "same_dir")
-          else ("unverified", 0.35, "unverified")
-        }
+      val imported = defToolConvs
+        .getOrElse(c.name, Set.empty)
+        .collect { case (tl, dc) if convTools.getOrElse(c.conv, Set.empty).contains(tl) => dc }
+      val operandHit = dict.get(c.name.replaceAll("_handler$", "")).flatMap(canonDefs.get)
+      val sameDate = convs.filter(_.substring(12, 20) == c.conv.substring(12, 20))
+      val sameUser = convs.filter(_.startsWith(c.conv.substring(0, 11)))
+      val (resolvedConv, resolvedName, conf, strat) =
+        if (convs.size == 1) (convs.head, c.name, 0.90, "global_unique")
+        else if (convs.contains(c.conv)) (c.conv, c.name, 0.85, "same_conv")
+        else if (imported.nonEmpty) (imported.min, c.name, 0.80, "import")
+        else if (operandHit.isDefined)
+          (operandHit.get._1, operandHit.get._2, 0.70, "operand")
+        else if (sameDate.nonEmpty) (sameDate.min, c.name, 0.60, "nested_var")
+        else if (sameUser.nonEmpty) (sameUser.min, c.name, 0.45, "same_dir")
+        else ("unverified", c.name, 0.35, "unverified")
       val dst =
         if (resolvedConv == "unverified") key4("Function", c.name, "unverified", -1)
-        else key4("Function", c.name, resolvedConv, firstDefTurn((c.name, resolvedConv)))
+        else key4("Function", resolvedName, resolvedConv,
+          firstDefTurn((resolvedName, resolvedConv)))
       out += Triple("CALLS", turnKey(c.conv, c.idx), dst, conf, strat)
     }
 
