@@ -38,6 +38,52 @@ object Oracles {
     SELECT m.conv_id, m.turn_idx, m.name, d.canonical
     FROM ments m JOIN dict d ON d.alias_name = m.name
 )
+, cvn AS (SELECT DISTINCT canonical AS name FROM rents)
+, csh AS (
+    SELECT DISTINCT name,
+      unnest(list_transform(range(1, greatest(length(lower(name))-2, 0)+1),
+             i -> substr(lower(name), i, 3))) AS shingle
+    FROM cvn WHERE length(name) >= 3
+)
+, csig AS (SELECT name, ${(0 until 8).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")} FROM csh GROUP BY name)
+, cbanded AS (${(0 until 4)
+      .map(b => s"SELECT name, $b AS band_idx, h${2 * b} || '|' || h${2 * b + 1} AS band_key FROM csig")
+      .mkString(" UNION ALL ")})
+, ccand AS (
+    SELECT DISTINCT x.name AS name_a, y.name AS name_b
+    FROM cbanded x JOIN cbanded y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+    WHERE x.name < y.name
+)
+, cinter AS (
+    SELECT c.name_a, c.name_b, count(*) AS inter
+    FROM ccand c JOIN csh a ON a.name = c.name_a
+                 JOIN csh b ON b.name = c.name_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+, csizes AS (SELECT name, count(*) AS n FROM csh GROUP BY name)
+, cpairs AS (
+    SELECT c.name_a, c.name_b
+    FROM ccand c
+    LEFT JOIN cinter i ON i.name_a = c.name_a AND i.name_b = c.name_b
+    JOIN csizes sa ON sa.name = c.name_a
+    JOIN csizes sb ON sb.name = c.name_b
+    WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.inter, 0)) >= 0.3
+)
+, cbi AS (
+    SELECT name_a AS src, name_b AS dst FROM cpairs
+    UNION ALL
+    SELECT name_b AS src, name_a AS dst FROM cpairs
+)
+, cclosure(a, b) AS (
+    SELECT name, name FROM cvn
+    UNION
+    SELECT c.a, e.dst FROM cclosure c JOIN cbi e ON e.src = c.b
+)
+, cclust AS (SELECT a AS canonical, min(b) AS cluster FROM cclosure GROUP BY a)
+, crents AS (
+    SELECT r.conv_id, r.turn_idx, r.name, cc.cluster AS canonical
+    FROM rents r JOIN cclust cc ON cc.canonical = r.canonical
+)
 , calls AS (
     SELECT conv_id, turn_idx, alias2 || '_handler' AS name
     FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
@@ -145,7 +191,7 @@ object Oracles {
     FROM (SELECT DISTINCT tool FROM transcripts WHERE tool IS NOT NULL)
     UNION ALL
     SELECT 'Entity', canonical, '', -1, '', ${key4("'Entity'", "canonical", "''", "-1")}
-    FROM (SELECT DISTINCT canonical FROM rents)
+    FROM (SELECT DISTINCT canonical FROM crents)
     UNION ALL
     SELECT 'Function', name, conv_id, turn_idx, '',
            ${key4("'Function'", "name", "conv_id", "turn_idx")}
@@ -191,7 +237,7 @@ object Oracles {
     UNION ALL
     SELECT 'MENTIONS', ${key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")},
            ${key4("'Entity'", "canonical", "''", "-1")}, CAST(1.0 AS DOUBLE), 'alias_dict'
-    FROM rents
+    FROM crents
     UNION ALL
     SELECT 'CALLS', ${key4("'Turn'", "'turn-' || CAST(r.turn_idx AS VARCHAR)", "r.conv_id", "r.turn_idx")},
            CASE WHEN f.name IS NULL

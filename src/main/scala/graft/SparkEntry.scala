@@ -337,7 +337,7 @@ object SparkEntry {
     "kg_nodes_with_edge_type" -> Oracles.withGraph("""
       SELECT DISTINCT 'turn-' || CAST(turn_idx AS VARCHAR) AS src_name,
              conv_id AS src_conv, turn_idx AS src_turn, canonical AS dst_name
-      FROM rents
+      FROM crents
     """),
     "kg_count_edges" -> Oracles.withGraph(
       "SELECT edge_type, count(*) AS n FROM edges GROUP BY 1"

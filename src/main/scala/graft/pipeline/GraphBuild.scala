@@ -115,7 +115,22 @@ object GraphBuild {
     val requests = mentions.where(col("mention_type") === "Request")
     val tools = mentions.where(col("mention_type") === "Tool")
 
-    val resolvedEntities = CallResolver.resolveEntities(spark, entityM)
+    // F2 wiring (north rule: canonicalize BEFORE materializing): after the
+    // dictionary resolves aliases to canonical ids, MinHash-LSH blocking +
+    // iterative connected components (canon/Canon.scala) cluster near-
+    // duplicate canonical ids (char-3-gram Jaccard >= 0.3 — merges the hot
+    // `sparkengine` into `spark`), and entity identity becomes the cluster
+    // label. The cluster dimension is tiny (distinct canonicals), so the CC
+    // loop runs on a broadcast-scale table regardless of corpus size.
+    val resolvedEntities0 = CallResolver.resolveEntities(spark, entityM)
+    val canonNames = resolvedEntities0.select(col("canonical").as("name")).distinct()
+    val clusters = graft.canon.Canon
+      .connectedComponents(canonNames, graft.canon.Canon.candidatePairs(canonNames, 0.3))
+      .withColumnRenamed("name", "canonical")
+    val resolvedEntities = resolvedEntities0
+      .join(broadcast(clusters), Seq("canonical"))
+      .withColumn("canonical", col("cluster"))
+      .drop("cluster")
     val resolvedCalls = CallResolver.resolveCalls(fnCalls, fnDefs, t).cache()
     val apiLinks = PathNorm.linkApi(requests, endpoints)
 

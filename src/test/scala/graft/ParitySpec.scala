@@ -62,15 +62,43 @@ class ParitySpec extends SparkSpec {
       }
     }
 
-    // entity mentions -> MENTIONS
+    // entity mentions -> MENTIONS, with cluster canonicalization: near-dup
+    // canonical ids (char-3-gram Jaccard >= 0.3) merge to the component min.
+    // Deliberately all-pairs + union-find here (no LSH) — if the engine's
+    // LSH blocking ever misses a true pair, parity catches it.
+    val entityMentions = scala.collection.mutable.ListBuffer[(String, String)]()
     rows.foreach { r =>
       val m = aliasRe.matcher(r.text)
       while (m.find()) {
-        dict.get(m.group(1)).foreach { canon =>
-          out += Triple("MENTIONS", turnKey(r.conv, r.idx),
-            key4("Entity", canon, "", -1), 1.0, "alias_dict")
+        dict.get(m.group(1)).foreach(c => entityMentions += ((turnKey(r.conv, r.idx), c)))
+      }
+    }
+    val present = entityMentions.map(_._2).toSet
+    def sh3(s: String): Set[String] =
+      if (s.length >= 3) (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+      else Set.empty
+    val parent = scala.collection.mutable.Map[String, String](present.map(c => c -> c).toSeq: _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- present; b <- present if a < b) {
+      val (sa, sb) = (sh3(a.toLowerCase), sh3(b.toLowerCase))
+      if (sa.nonEmpty && sb.nonEmpty) {
+        val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if (j >= 0.3) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+            parent(hi) = lo
+          }
         }
       }
+    }
+    val clusterOf: Map[String, String] =
+      present.groupBy(find).flatMap { case (_, grp) =>
+        val m = grp.min; grp.map(_ -> m)
+      }
+    entityMentions.foreach { case (tk, c) =>
+      out += Triple("MENTIONS", tk, key4("Entity", clusterOf(c), "", -1), 1.0, "alias_dict")
     }
 
     // function defs / calls
