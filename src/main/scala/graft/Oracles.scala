@@ -172,6 +172,24 @@ object Oracles {
            string_agg(tool, chr(10) ORDER BY turn_idx) AS body
     FROM transcripts WHERE tool IS NOT NULL GROUP BY conv_id
 )
+, page_ids AS (
+    SELECT DISTINCT resource AS name FROM enriched WHERE role = 'assistant'
+)
+, group_ids AS (
+    SELECT DISTINCT regexp_extract(name, '^(/[^/]+/[^/]+)', 1) AS name FROM ep_ids
+    WHERE length(regexp_extract(name, '^(/[^/]+/[^/]+)', 1)) > 0
+)
+, nested0 AS (
+    SELECT r.conv_id, r.turn_idx, r.req_path, d.fn_name, d.def_idx,
+           row_number() OVER (PARTITION BY r.conv_id, r.turn_idx
+                              ORDER BY d.def_idx DESC, d.fn_name DESC) AS rn
+    FROM (SELECT conv_id, turn_idx, replace(path, '{id}', '$$' || '{id}') AS req_path
+          FROM enriched WHERE role = 'assistant') r
+    JOIN (SELECT conv_id, turn_idx AS def_idx, alias || '_handler' AS fn_name
+          FROM enriched WHERE role = 'tool') d
+      ON d.conv_id = r.conv_id AND d.def_idx < r.turn_idx AND r.turn_idx <= d.def_idx + 5
+)
+, nested AS (SELECT conv_id, turn_idx, req_path, fn_name FROM nested0 WHERE rn = 1)
 , nodes0 AS (
     SELECT 'Corpus' AS node_type, 'corpus' AS name, '' AS conv_id, -1 AS turn_idx, '' AS body,
            ${key4("'Corpus'", "'corpus'", "''", "-1")} AS node_key
@@ -211,9 +229,17 @@ object Oracles {
     SELECT 'Import', 'imports', conv_id, turn_idx, body,
            ${key4("'Import'", "'imports'", "conv_id", "turn_idx")}
     FROM imports
+    UNION ALL
+    SELECT 'Page', name, '', -1, '', ${key4("'Page'", "name", "''", "-1")}
+    FROM page_ids
+    UNION ALL
+    SELECT 'EndpointGroup', name, '', -1, '', ${key4("'EndpointGroup'", "name", "''", "-1")}
+    FROM group_ids
 )
 , nodes AS (
-    SELECT *, sha256(node_key) AS ref_id FROM nodes0
+    SELECT *, sha256(node_key) AS ref_id, sha256(body) AS hash,
+           length(body) > 500000 AS skipped
+    FROM nodes0
 )
 , edges0 AS (
     SELECT 'CONTAINS' AS edge_type,
@@ -282,6 +308,27 @@ object Oracles {
     FROM enriched e JOIN fn_nodes f
       ON f.name = e.alias || '_handler' AND f.conv_id = e.conv_id
     WHERE e.role = 'tool'
+    UNION ALL
+    SELECT 'PARENT_OF', ${key4("'EndpointGroup'", "grp", "''", "-1")},
+           ${key5("'Endpoint'", "name", "''", "-1", "verb")}, CAST(1.0 AS DOUBLE), 'endpoint_group'
+    FROM (SELECT name, verb, regexp_extract(name, '^(/[^/]+/[^/]+)', 1) AS grp FROM ep_ids)
+    WHERE length(grp) > 0
+    UNION ALL
+    SELECT 'RENDERS', ${key4("'Page'", "res", "''", "-1")},
+           ${key5("'Endpoint'", "e.name", "''", "-1", "e.verb")}, CAST(1.0 AS DOUBLE), 'renders'
+    FROM (SELECT name, verb, regexp_extract(name, '^/api/([a-z]+)', 1) AS res FROM ep_ids) e
+    JOIN page_ids p ON p.name = e.res
+    UNION ALL
+    SELECT 'IMPLEMENTS', ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")},
+           ${key4("'Entity'", "cc.cluster", "''", "-1")}, CAST(1.0 AS DOUBLE), 'implements'
+    FROM fn_nodes f
+    JOIN dict d ON d.alias_name = regexp_replace(f.name, '_handler$$', '')
+    JOIN cclust cc ON cc.canonical = d.canonical
+    UNION ALL
+    SELECT 'NESTED_IN', ${key4("'Request'", "n.req_path", "n.conv_id", "n.turn_idx")},
+           ${key4("'Function'", "n.fn_name", "n.conv_id", "f.turn_idx")},
+           CAST(1.0 AS DOUBLE), 'nested_scope'
+    FROM nested n JOIN fn_nodes f ON f.name = n.fn_name AND f.conv_id = n.conv_id
 )
 , edges AS (
     -- duplicate (edge_type, src, dst) rows always carry identical payloads

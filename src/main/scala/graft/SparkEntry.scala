@@ -324,7 +324,7 @@ object SparkEntry {
       FROM reqs r JOIN eps e ON e.norm_path = r.norm_path AND e.verb = r.verb
     """),
     "kg_nodes" -> Oracles.withGraph(
-      "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id FROM nodes"
+      "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped FROM nodes"
     ),
     "kg_edges" -> Oracles.withGraph(
       "SELECT edge_type, src_key, dst_key, confidence, strategy FROM edges"

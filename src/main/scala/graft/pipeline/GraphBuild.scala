@@ -33,6 +33,12 @@ object GraphBuild {
 
   final case class Graph(nodes: DataFrame, edges: DataFrame, mentions: DataFrame)
 
+  /** A4 oversize skip (builder/utils.rs:13 MAX_FILE_SIZE): turns longer than
+    * this are materialized in the spine with skipped=true but excluded from
+    * extraction (the reference skips parsing such files entirely).
+    */
+  val MaxTurnChars = 500000
+
   private val nullConf: Column = lit(1.0)
 
   private def node(
@@ -52,7 +58,10 @@ object GraphBuild {
       turnIdx.as("turn_idx"),
       body.as("body"),
       key.as("node_key"),
-      Keys.refId(key).as("ref_id")
+      Keys.refId(key).as("ref_id"),
+      // A4 per-document content hash + oversize marker (builder/core.rs:298-364)
+      sha2(body, 256).as("hash"),
+      (length(body) > MaxTurnChars).as("skipped")
     )
   }
 
@@ -106,7 +115,11 @@ object GraphBuild {
     // ONE fused mapPartitions pass (broadcast trie) instead of the 4-branch
     // Catalyst regex union — identical output (asserted by ExtractionSpec);
     // the Catalyst twin remains the oracle-checked kg_mentions surface.
-    val mentions = Mentions.extractPartitioned(spark, t).toDF().localCheckpoint()
+    // Oversize turns (A4) are spine-only: never fed to the extractor.
+    val mentions = Mentions
+      .extractPartitioned(spark, t.where(length(col("text")) <= MaxTurnChars))
+      .toDF()
+      .localCheckpoint()
 
     val entityM = mentions.where(col("mention_type") === "Entity")
     val fnDefs = mentions.where(col("mention_type") === "FunctionDef")
@@ -163,6 +176,22 @@ object GraphBuild {
 
     val reqNodes = mkNodes(requests, NodeTypes.Request, col("name"), col("conv_id"), col("turn_idx"))
 
+    // B12 pages (get_pages, lang/mod.rs:408-554): the resource surface a
+    // user-facing request renders, extracted from the request path
+    val pageIds = requests
+      .select(regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("name"))
+      .where(length(col("name")) > 0)
+      .distinct()
+    val pageNodes = mkNodes(pageIds, NodeTypes.Page, col("name"), lit(""), lit(-1))
+
+    // D14 longest-prefix endpoint groups as first-class parent nodes
+    // (process_endpoint_groups, btreemap_graph.rs:523-602)
+    val groupIds = epIds
+      .select(regexp_extract(col("name"), "^(/[^/]+/[^/]+)", 1).as("name"))
+      .where(length(col("name")) > 0)
+      .distinct()
+    val groupNodes = mkNodes(groupIds, NodeTypes.EndpointGroup, col("name"), lit(""), lit(-1))
+
     // import section: one node per conversation, tools concatenated in turn
     // order (B4 combine_import_sections, builder/utils.rs:158-218)
     val importNodes0 = t
@@ -192,7 +221,8 @@ object GraphBuild {
     // with NO global dedup either, so parity checks the invariant every
     // round; the write path (SnapshotTable overwrite) supplies MERGE-on-
     // rewrite semantics for incremental runs.
-    val nodes = Seq(spine, toolNodes, entityNodes, fnNodes, stubNodes, epNodes, reqNodes, importNodes)
+    val nodes = Seq(spine, toolNodes, entityNodes, fnNodes, stubNodes, epNodes, reqNodes,
+      importNodes, pageNodes, groupNodes)
       .reduce(_ unionByName _)
 
     // --- edges ---------------------------------------------------------
@@ -212,6 +242,8 @@ object GraphBuild {
     def epKey(n: Column, v: Column) =
       Keys.nodeKeyWithVerb(lit(NodeTypes.Endpoint), n, lit(""), lit(-1), v)
     def reqKey(n: Column, c: Column, i: Column) = Keys.nodeKey(lit(NodeTypes.Request), n, c, i)
+    def pageKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Page), n, lit(""), lit(-1))
+    def groupKey(n: Column) = Keys.nodeKey(lit(NodeTypes.EndpointGroup), n, lit(""), lit(-1))
 
     val containsConv = t.select(col("conv_id")).distinct()
       .select(edge(EdgeTypes.Contains, corpusKey, convKey(col("conv_id"))): _*)
@@ -309,12 +341,66 @@ object GraphBuild {
         strat = lit("tool_owner")): _*)
       .distinct()
 
+    // D15 class_inherits analog: longest-prefix group -PARENT_OF-> endpoint
+    val parentOfE = epIds
+      .withColumn("grp", regexp_extract(col("name"), "^(/[^/]+/[^/]+)", 1))
+      .where(length(col("grp")) > 0)
+      .select(edge(EdgeTypes.ParentOf, groupKey(col("grp")), epKey(col("name"), col("verb")),
+        strat = lit("endpoint_group")): _*)
+
+    // B12 renders: page -RENDERS-> the endpoints serving its resource
+    val rendersE = epIds
+      .withColumn("res", regexp_extract(col("name"), "^/api/([a-z]+)", 1))
+      .join(pageIds.withColumnRenamed("name", "res"), Seq("res"))
+      .select(edge(EdgeTypes.Renders, pageKey(col("res")), epKey(col("name"), col("verb")),
+        strat = lit("renders")): _*)
+
+    // B7/D15 implements: a handler function -IMPLEMENTS-> the canonical
+    // entity contract its name is derived from (trait analog); targets use
+    // the post-canonicalization cluster identity
+    val dictDf = {
+      import spark.implicits._
+      graft.extract.Dictionary.aliasToCanonical.toSeq.toDF("alias", "canonical")
+    }
+    val implementsE = fnNodes0
+      .withColumn("alias", regexp_replace(col("name"), "_handler$", ""))
+      .join(broadcast(dictDf), Seq("alias"))
+      .join(broadcast(clusters), Seq("canonical"))
+      .select(edge(EdgeTypes.Implements, fnKey(col("name"), col("conv_id"), col("turn_idx")),
+        entityKey(col("cluster")), strat = lit("implements")): _*)
+
+    // B9 nested scopes via a genuine non-equi RANGE join
+    // (lang/mod.rs:667-706): a request is NESTED_IN the nearest preceding
+    // handler-definition scope within a 5-turn window of its conversation.
+    // The join is conv_id-equi + range filter, so it stays conv-local.
+    val nested0 = requests
+      .select(col("conv_id"), col("turn_idx"), col("name").as("req_name"))
+      .join(
+        fnDefs.select(col("conv_id"), col("turn_idx").as("def_idx"), col("name").as("fn_name")),
+        Seq("conv_id"))
+      .where(col("def_idx") < col("turn_idx") && col("turn_idx") <= col("def_idx") + lit(5))
+      .groupBy("conv_id", "turn_idx", "req_name")
+      .agg(max(struct(col("def_idx"), col("fn_name"))).as("m"))
+      .select(col("conv_id"), col("turn_idx"), col("req_name"), col("m.fn_name").as("fn_name"))
+    val nestedInE = nested0
+      .join(
+        fnFirstDef
+          .withColumnRenamed("resolved_conv", "conv_id")
+          .withColumnRenamed("name", "fn_name"),
+        Seq("fn_name", "conv_id"))
+      .select(edge(EdgeTypes.NestedIn, reqKey(col("req_name"), col("conv_id"), col("turn_idx")),
+        fnKey(col("fn_name"), col("conv_id"), col("def_turn")), strat = lit("nested_scope")): _*)
+
     val edges = Seq(containsConv, containsTurn, ofRole, usesTool, mentionsE, callsFn, handlerE)
       .reduce(_ unionByName _)
       .unionByName(callsReq)
       .unionByName(callsApi)
       .unionByName(importsE)
       .unionByName(operandE)
+      .unionByName(parentOfE)
+      .unionByName(rendersE)
+      .unionByName(implementsE)
+      .unionByName(nestedInE)
     // sorted-set dedup (D1) is PER-BRANCH, pre-key, on compact natural
     // columns (mentionsE below; handlerE/operandE carry their own distinct;
     // every other branch is unique by construction: ≤1 handler/verb-path

@@ -99,8 +99,11 @@ object NodeTypes {
   val Request = "Request"
   val Tool = "Tool"                 // Library
   val Import = "Import"             // per-conv header section
+  val Page = "Page"                 // Page (resource surface users request)
+  val EndpointGroup = "EndpointGroup" // D14 longest-prefix group parent
   val all: Seq[String] =
-    Seq(Corpus, Conversation, Turn, Role, Entity, Function, Endpoint, Request, Tool, Import)
+    Seq(Corpus, Conversation, Turn, Role, Entity, Function, Endpoint, Request, Tool, Import,
+      Page, EndpointGroup)
 }
 
 object EdgeTypes {

@@ -205,6 +205,44 @@ class ParitySpec extends SparkSpec {
           key4("Function", f.name, f.conv, firstDefTurn((f.name, f.conv))), 1.0, "tool_owner")
       }
     }
+
+    // endpoint-group PARENT_OF + page RENDERS + function IMPLEMENTS +
+    // request NESTED_IN (range containment) — the D15/B12/B7/B9 families
+    val grpRe = Pattern.compile("^(/[^/]+/[^/]+)")
+    val resRe = Pattern.compile("^/api/([a-z]+)")
+    def extract1(p: Pattern, s: String): Option[String] = {
+      val m = p.matcher(s); if (m.find()) Some(m.group(1)) else None
+    }
+    epIds.foreach { case (np, verb) =>
+      extract1(grpRe, np).foreach { g =>
+        out += Triple("PARENT_OF", key4("EndpointGroup", g, "", -1),
+          key5("Endpoint", np, "", -1, verb), 1.0, "endpoint_group")
+      }
+    }
+    val pageNames = vps.filter(!_.isEp).flatMap(q => extract1(resRe, q.path)).toSet
+    epIds.foreach { case (np, verb) =>
+      extract1(resRe, np).filter(pageNames.contains).foreach { res =>
+        out += Triple("RENDERS", key4("Page", res, "", -1),
+          key5("Endpoint", np, "", -1, verb), 1.0, "renders")
+      }
+    }
+    defs.groupBy(m => (m.name, m.conv)).keys.foreach { case (n, c) =>
+      dict.get(n.replaceAll("_handler$", "")).foreach { canon =>
+        clusterOf.get(canon).foreach { cl =>
+          out += Triple("IMPLEMENTS", key4("Function", n, c, firstDefTurn((n, c))),
+            key4("Entity", cl, "", -1), 1.0, "implements")
+        }
+      }
+    }
+    vps.filter(!_.isEp).foreach { q =>
+      val cands = defs.filter(d => d.conv == q.conv && d.idx < q.idx && q.idx <= d.idx + 5)
+      if (cands.nonEmpty) {
+        val best = cands.maxBy(d => (d.idx, d.name))
+        out += Triple("NESTED_IN", key4("Request", q.path, q.conv, q.idx),
+          key4("Function", best.name, best.conv, firstDefTurn((best.name, best.conv))),
+          1.0, "nested_scope")
+      }
+    }
     out.toSet
   }
 

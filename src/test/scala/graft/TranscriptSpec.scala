@@ -52,4 +52,27 @@ class TranscriptSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("A4: oversize turns keep their spine node (skipped=true) but are never extracted") {
+    import spark.implicits._
+    val big = "Postgres " * (GraphBuild.MaxTurnChars / 9 + 2) // > MaxTurnChars, full of aliases
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t = Seq(
+      ("conv-000900-x", 0, "user", "please check Postgres", None: Option[String], ts),
+      ("conv-000900-x", 1, "user", big, None: Option[String], ts)
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val g = GraphBuild.build(spark, t)
+    val turns = g.nodes.where(col("node_type") === "Turn")
+      .select("turn_idx", "skipped").as[(Int, Boolean)].collect().toMap
+    assert(turns == Map(0 -> false, 1 -> true))
+    // the oversize turn contributed no mentions (and so no MENTIONS edge)
+    assert(g.mentions.where(col("turn_idx") === 1).isEmpty)
+    val mentionEdges = g.edges.where(col("edge_type") === "MENTIONS").count()
+    assert(mentionEdges == 1)
+    // body hash is the sha256 of the text (A4 content hash)
+    val h = g.nodes.where(col("node_type") === "Turn" && col("turn_idx") === 0)
+      .select("hash").as[String].head()
+    assert(h == java.security.MessageDigest.getInstance("SHA-256")
+      .digest("please check Postgres".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
 }
