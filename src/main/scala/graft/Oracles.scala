@@ -339,6 +339,42 @@ object Oracles {
   def withGraph(body: String): String =
     Transcripts.oracleCte + graphCte + "\n" + body
 
+  /** G9 oracle: BFS layers as chained MATERIALIZED CTEs with deterministic
+    * min-parent tracking, then a backtrack join chain reconstructing the
+    * path string — twin of [[graft.query.Query.shortestPath]].
+    */
+  def shortestPathSql(startKeyExpr: String, targetKeyExpr: String, maxDepth: Int = 4): String = {
+    val layers = (1 to maxDepth).map { k =>
+      val priors = (0 until k).map(i => s"SELECT node_key FROM sl$i").mkString(" UNION ALL ")
+      s"""
+, sl$k AS MATERIALIZED (
+    SELECT u.b AS node_key, min(u.a) AS parent
+    FROM spund u JOIN sl${k - 1} l ON l.node_key = u.a
+    WHERE u.b NOT IN ($priors)
+    GROUP BY u.b)"""
+    }.mkString
+    val lay = (0 to maxDepth)
+      .map(k => s"SELECT node_key, parent, $k AS depth FROM sl$k")
+      .mkString(" UNION ALL ")
+    val backJoins = (1 to maxDepth)
+      .map(i => s"LEFT JOIN slay p$i ON p$i.node_key = ${if (i == 1) "t" else s"p${i - 1}"}.parent")
+      .mkString("\n")
+    val pathCols = (maxDepth to 1 by -1).map(i => s"p$i.node_key").mkString(", ")
+    s"""
+, spund AS MATERIALIZED (
+    SELECT src_key AS a, dst_key AS b FROM edges
+    UNION
+    SELECT dst_key AS a, src_key AS b FROM edges
+)
+, sl0 AS MATERIALIZED (SELECT $startKeyExpr AS node_key, CAST(NULL AS VARCHAR) AS parent)
+$layers
+, slay AS MATERIALIZED ($lay)
+SELECT concat_ws('->', $pathCols, t.node_key) AS path, t.depth
+FROM slay t
+$backJoins
+WHERE t.node_key = $targetKeyExpr"""
+  }
+
   /** G10 pagerank oracle: the fixed 20-iteration loop unrolled into chained
     * (non-recursive) CTEs — same damping/dangling-mass formula as
     * [[graft.query.Query.pagerank]]. Double sums in different aggregation

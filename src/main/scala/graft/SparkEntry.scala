@@ -250,6 +250,166 @@ object SparkEntry {
         FROM graft_edges e JOIN graft_nodes n ON n.node_key = e.src_key
         GROUP BY n.node_type, e.edge_type
       """)
+    },
+
+    // B8 filter_nested range ANTI-join (builder/stages.rs:197-277): requests
+    // outside every handler scope window — left_anti with a non-equi
+    // conv-local range condition
+    "kg_top_level_requests" -> { (s, dir) =>
+      val m = mentionsOf(s, dir).cache()
+      val reqs = m.where(col("mention_type") === "Request").select("conv_id", "turn_idx", "name")
+      val defs = m
+        .where(col("mention_type") === "FunctionDef")
+        .select(col("conv_id").as("def_conv"), col("turn_idx").as("def_idx"))
+      reqs.join(
+        defs,
+        reqs("conv_id") === defs("def_conv") &&
+          defs("def_idx") < reqs("turn_idx") && reqs("turn_idx") <= defs("def_idx") + lit(5),
+        "left_anti"
+      )
+    },
+    // E4 link_integration_tests analog (linker.rs:34-211): broadcast
+    // body-contains theta-join — endpoint dimension scanned inside turn text
+    "kg_link_text_endpoints" -> { (s, dir) =>
+      val t = Transcripts.fromEvents(s, dir)
+      val eps = Mentions.extract(t)
+        .where(col("mention_type") === "Endpoint")
+        .select(col("verb"), col("path"))
+        .distinct()
+      t.select("conv_id", "turn_idx", "text")
+        .join(broadcast(eps), instr(col("text"), concat(col("verb"), lit(" "), col("path"))) > 0)
+        .select("conv_id", "turn_idx", "verb", "path")
+    },
+    // E6 link_e2e_tests analog (linker.rs:243-314): ids extracted on both
+    // sides, equi-joined against the broadcast endpoint-id dimension
+    "kg_link_shared_ids" -> { (s, dir) =>
+      val m = mentionsOf(s, dir).cache()
+      def withIds(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("res", regexp_extract(col("name"), "^/api/([a-z]+)", 1))
+        .withColumn("shared_id", regexp_extract(col("name"), "/([0-9]+)$", 1))
+        .where(length(col("shared_id")) > 0)
+      val reqIds = withIds(m.where(col("mention_type") === "Request"))
+        .select("conv_id", "turn_idx", "verb", "res", "shared_id")
+      val epDim = withIds(m.where(col("mention_type") === "Endpoint"))
+        .select("verb", "res", "shared_id")
+        .distinct()
+      reqIds.join(broadcast(epDim), Seq("verb", "res", "shared_id"))
+        .select("conv_id", "turn_idx", "verb", "res", "shared_id")
+    },
+    // E5 link_e2e_tests_pages analog (linker.rs:213-235): page names scanned
+    // in turn text via broadcast contains
+    "kg_link_pages" -> { (s, dir) =>
+      val t = Transcripts.fromEvents(s, dir)
+      val pages = Mentions.extract(t)
+        .where(col("mention_type") === "Request")
+        .select(regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("page"))
+        .where(length(col("page")) > 0)
+        .distinct()
+      t.select("conv_id", "turn_idx", "text")
+        .join(broadcast(pages), instr(col("text"), concat(lit("/"), col("page"), lit("/"))) > 0)
+        .select("conv_id", "turn_idx", "page")
+    },
+    // B13 comments->docs attach (lag window over conversation order)
+    "kg_docs_attach" -> ((s, dir) => Mentions.docsAttach(Transcripts.fromEvents(s, dir))),
+    // A2 corpus profiling (Repo::new_multi_detect analog)
+    "kg_profile" -> ((s, dir) =>
+      Transcripts.fromEvents(s, dir).groupBy("role", "tool").agg(count(lit(1)).as("n"))),
+    // B7/D10 instances: alias occurrence -OF-> canonical class, emitted only
+    // when the class exists in the dictionary (inner join)
+    "kg_instances" -> { (s, dir) =>
+      CallResolver
+        .resolveEntities(s, mentionsOf(s, dir).where(col("mention_type") === "Entity"))
+        .select("name", "canonical")
+        .distinct()
+    },
+    // C6 skip-list suppression before resolution
+    "kg_mentions_skiplisted" -> ((s, dir) =>
+      Mentions.applySkipList(mentionsOf(s, dir), Seq("S3", "AmazonS3"))),
+    // D24 find_endpoint by (name prefix, verb)
+    "kg_find_endpoint" -> { (s, dir) =>
+      mentionsOf(s, dir)
+        .where(col("mention_type") === "Endpoint")
+        .select(
+          PathNorm.canonical(PathNorm.normalizeBackend(col("path"))).as("name"),
+          col("verb"))
+        .distinct()
+        .where(col("verb") === "GET" && col("name").startsWith("/api/orders"))
+    },
+    // G10 degree/importance writeback
+    "kg_degrees" -> ((s, dir) => {
+      val g = graphOf(s, dir); GraphOps.degrees(g.nodes, g.edges)
+    }),
+    // G9 shortest path WITH path reconstruction (min-parent BFS tree)
+    "kg_path" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      def keyOf(name: String) = g.nodes
+        .where(col("node_type") === "Entity" && col("name") === name)
+        .select("node_key").first().getString(0)
+      Query.shortestPath(g.edges, keyOf("postgres"), keyOf("kafka"), 4)
+    },
+    // D19+D20 full prune: drop uncalled functions AND incident edges
+    "kg_pruned_graph" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val (n, e) = GraphOps.pruneUncalledFunctions(g.nodes, g.edges)
+      GraphOps.graphSize(n, e)
+    },
+    // D18 cross-type dedup: stubs lose to operand-owned real functions
+    "kg_dedup_nodes" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      GraphOps.dedupStubFunctions(g.nodes, g.edges).select("node_key", "name", "conv_id")
+    }),
+    // D17 filter_out_nodes_without_children
+    "kg_convs_with_functions" -> ((s, dir) =>
+      GraphOps.convsWithFunctions(graphOf(s, dir).nodes).select("node_key", "name")),
+    // D22 extend_graph: merge a rev-scoped subgraph back in, MERGE dedup
+    "kg_extend_graph" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val convs = Transcripts.fromEvents(s, dir)
+        .select("conv_id")
+        .where(col("conv_id").startsWith("conv-000001-"))
+        .distinct()
+      val (n2, e2) = GraphOps.filteredGraph(g.nodes, g.edges, convs)
+      val (n, e) = GraphOps.extendGraph(g.nodes, g.edges, n2, e2)
+      GraphOps.graphSize(n, e)
+    },
+    // A8/D23 analysis listing: the full sorted key set
+    "kg_graph_keys" -> ((s, dir) => graphOf(s, dir).nodes.select("node_key")),
+    // G15 scan family: returned-value extraction from tool turns
+    "kg_caps_scan" -> { (s, dir) =>
+      Transcripts.fromEvents(s, dir)
+        .withColumn("retval", regexp_extract(col("text"), "returned ([0-9]+)", 1))
+        .where(length(col("retval")) > 0)
+        .select(col("conv_id"), col("turn_idx"), col("retval").cast("long").as("retval"))
+    },
+    // B14 test collectors: integration (rerun calls) + e2e (template paths)
+    "kg_test_collect" -> { (s, dir) =>
+      val t = Transcripts.fromEvents(s, dir)
+      val integ = t.where(col("role") === "user")
+        .withColumn("name", regexp_extract(col("text"), "rerun ([A-Za-z0-9-]+_handler)", 1))
+        .where(length(col("name")) > 0)
+        .select(col("conv_id"), col("turn_idx"), lit("integration").as("kind"), col("name"))
+      val e2e = t.where(col("role") === "assistant")
+        .withColumn("name", regexp_extract(col("text"), graft.extract.Dictionary.verbPathPattern, 2))
+        .where(col("name").contains("${id}"))
+        .select(col("conv_id"), col("turn_idx"), lit("e2e").as("kind"), col("name"))
+      integ.unionByName(e2e)
+    },
+    // A3 filtered scan honoring skip-lists (roles + conv prefix dictionary)
+    "kg_filtered_scan" -> ((s, dir) =>
+      Transcripts.fromEvents(s, dir)
+        .where(col("role") =!= "tool" && !col("conv_id").startsWith("conv-000002-"))
+        .select("conv_id", "turn_idx", "role", "text")),
+    // H3 maintenance backfill (set_default_namespace analog)
+    "kg_maintenance" -> ((s, dir) =>
+      graphOf(s, dir).nodes.select(col("node_key"), lit("default").as("namespace"))),
+    // E7 package nodes: tool-name prefix dimension
+    "kg_packages" -> { (s, dir) =>
+      Transcripts.fromEvents(s, dir)
+        .where(col("tool").isNotNull)
+        .select(split(col("tool"), "_").getItem(0).as("package"), col("tool"))
+        .distinct()
+        .groupBy("package")
+        .agg(countDistinct("tool").as("n_tools"))
     }
   )
 
@@ -271,11 +431,7 @@ object SparkEntry {
       FROM ments m JOIN dict d ON d.name = m.name
     """)
 
-  def oracleSql: Map[String, String] = DatapipeEntries.oracleSql ++ Map(
-    "kg_transcripts" -> O(
-      "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
-    ),
-    "kg_mentions" -> O("""
+  private val mentionsSqlBody = """
       SELECT conv_id, turn_idx, 'Entity' AS mention_type, alias AS name,
              CAST(NULL AS VARCHAR) AS verb, CAST(NULL AS VARCHAR) AS path FROM enriched
       UNION ALL
@@ -299,6 +455,16 @@ object SparkEntry {
       UNION ALL
       SELECT conv_id, turn_idx, 'Tool', tool, NULL, NULL
       FROM enriched WHERE tool IS NOT NULL
+    """
+
+  def oracleSql: Map[String, String] = DatapipeEntries.oracleSql ++ Map(
+    "kg_transcripts" -> O(
+      "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"
+    ),
+    "kg_mentions" -> O(mentionsSqlBody),
+    "kg_mentions_skiplisted" -> O(s"""
+      SELECT * FROM ($mentionsSqlBody)
+      WHERE name NOT IN ('S3', 'AmazonS3')
     """),
     // the 7-strategy cascade oracle is the shared rcalls CTE (Oracles.graphCte)
     "kg_resolve_calls" -> Oracles.withGraph("""
@@ -522,6 +688,124 @@ object SparkEntry {
              AND EXISTS (SELECT 1 FROM edges e
                          WHERE e.edge_type = 'CALLS' AND e.dst_key = n.node_key)) AS called_functions
       )
+    """),
+    "kg_top_level_requests" -> O("""
+      SELECT conv_id, turn_idx, replace(path, '{id}', '$' || '{id}') AS name
+      FROM enriched r WHERE role = 'assistant'
+      AND NOT EXISTS (SELECT 1 FROM enriched d WHERE d.role = 'tool'
+                      AND d.conv_id = r.conv_id
+                      AND d.turn_idx < r.turn_idx AND r.turn_idx <= d.turn_idx + 5)
+    """),
+    "kg_link_text_endpoints" -> O("""
+      SELECT t.conv_id, t.turn_idx, e.verb, e.path
+      FROM transcripts t
+      JOIN (SELECT DISTINCT verb, path FROM enriched WHERE role = 'tool') e
+        ON instr(t.text, e.verb || ' ' || e.path) > 0
+    """),
+    "kg_link_shared_ids" -> O("""
+      SELECT r.conv_id, r.turn_idx, r.verb, r.res, r.shared_id
+      FROM (SELECT conv_id, turn_idx, verb, resource AS res,
+                   CAST(event_id % 10 AS VARCHAR) AS shared_id
+            FROM enriched WHERE role = 'assistant' AND (event_id % 5) <> 0) r
+      JOIN (SELECT DISTINCT verb, resource AS res, CAST(event_id % 10 AS VARCHAR) AS shared_id
+            FROM enriched WHERE role = 'tool' AND (event_id % 5) <> 0) e
+        ON e.verb = r.verb AND e.res = r.res AND e.shared_id = r.shared_id
+    """),
+    "kg_link_pages" -> O("""
+      SELECT t.conv_id, t.turn_idx, p.page
+      FROM transcripts t
+      JOIN (SELECT DISTINCT resource AS page FROM enriched WHERE role = 'assistant') p
+        ON instr(t.text, '/' || p.page || '/') > 0
+    """),
+    "kg_docs_attach" -> O("""
+      SELECT conv_id, turn_idx, name, docs FROM (
+        SELECT conv_id, turn_idx, role, alias || '_handler' AS name,
+          CASE WHEN lag(role, 1) OVER w = 'user' THEN lag(text, 1) OVER w
+               WHEN lag(role, 2) OVER w = 'user' THEN lag(text, 2) OVER w END AS docs
+        FROM enriched
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+      ) WHERE role = 'tool'
+    """),
+    "kg_profile" -> O(
+      "SELECT role, tool, count(*) AS n FROM transcripts GROUP BY 1, 2"
+    ),
+    "kg_instances" -> Oracles.withGraph(
+      "SELECT DISTINCT name, canonical FROM rents"
+    ),
+    "kg_find_endpoint" -> Oracles.withGraph(
+      "SELECT name, verb FROM ep_ids WHERE verb = 'GET' AND name LIKE '/api/orders%'"
+    ),
+    "kg_degrees" -> Oracles.withGraph("""
+      , outd AS (SELECT src_key AS node_key, count(*) AS out_degree FROM edges GROUP BY 1)
+      , ind AS (SELECT dst_key AS node_key, count(*) AS in_degree FROM edges GROUP BY 1)
+      SELECT n.node_key,
+             CAST(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree,
+             CAST(coalesce(o.out_degree, 0) AS BIGINT) AS out_degree,
+             coalesce(i.in_degree, 0) = 0 AND coalesce(o.out_degree, 0) > 0 AS entry_score,
+             coalesce(o.out_degree, 0) = 0 AND coalesce(i.in_degree, 0) > 0 AS utility_score,
+             CAST(coalesce(i.in_degree, 0) * coalesce(o.out_degree, 0) AS BIGINT) AS hub_score
+      FROM nodes n
+      LEFT JOIN outd o ON o.node_key = n.node_key
+      LEFT JOIN ind i ON i.node_key = n.node_key
+    """),
+    "kg_path" -> Oracles.withGraph(Oracles.shortestPathSql(
+      Oracles.key4("'Entity'", "'postgres'", "''", "-1"),
+      Oracles.key4("'Entity'", "'kafka'", "''", "-1")
+    )),
+    "kg_pruned_graph" -> Oracles.withGraph("""
+      , pruned AS (
+          SELECT node_key FROM nodes n WHERE node_type = 'Function'
+          AND NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.edge_type = 'CALLS' AND e.dst_key = n.node_key))
+      , pn2 AS (SELECT * FROM nodes WHERE node_key NOT IN (SELECT node_key FROM pruned))
+      , pe2 AS (SELECT * FROM edges
+                WHERE src_key NOT IN (SELECT node_key FROM pruned)
+                  AND dst_key NOT IN (SELECT node_key FROM pruned))
+      SELECT 'node:' || node_type AS kind, count(*) AS n FROM pn2 GROUP BY 1
+      UNION ALL
+      SELECT 'edge:' || edge_type, count(*) FROM pe2 GROUP BY 1
+    """),
+    "kg_dedup_nodes" -> Oracles.withGraph("""
+      SELECT node_key, name, conv_id FROM nodes
+      WHERE node_type = 'Function'
+        AND NOT (conv_id = 'unverified' AND name IN (
+          SELECT DISTINCT k.name FROM nodes k
+          WHERE k.node_type = 'Function' AND k.conv_id <> 'unverified'
+            AND k.node_key IN (SELECT dst_key FROM edges WHERE edge_type = 'OPERAND')))
+    """),
+    "kg_convs_with_functions" -> Oracles.withGraph("""
+      SELECT node_key, name FROM nodes
+      WHERE node_type = 'Conversation'
+        AND conv_id IN (SELECT DISTINCT conv_id FROM nodes
+                        WHERE node_type = 'Function' AND conv_id <> 'unverified')
+    """),
+    "kg_extend_graph" -> Oracles.withGraph("""
+      SELECT 'node:' || node_type AS kind, count(*) AS n FROM nodes GROUP BY 1
+      UNION ALL
+      SELECT 'edge:' || edge_type, count(*) FROM edges GROUP BY 1
+    """),
+    "kg_graph_keys" -> Oracles.withGraph("SELECT node_key FROM nodes"),
+    "kg_caps_scan" -> O("""
+      SELECT conv_id, turn_idx, CAST(floor(value) AS BIGINT) AS retval
+      FROM enriched WHERE role = 'tool'
+    """),
+    "kg_test_collect" -> O("""
+      SELECT conv_id, turn_idx, 'integration' AS kind, alias2 || '_handler' AS name
+      FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
+      UNION ALL
+      SELECT conv_id, turn_idx, 'e2e', replace(path, '{id}', '$' || '{id}')
+      FROM enriched WHERE role = 'assistant' AND (event_id % 5) = 0
+    """),
+    "kg_filtered_scan" -> O("""
+      SELECT conv_id, turn_idx, role, text FROM transcripts
+      WHERE role <> 'tool' AND conv_id NOT LIKE 'conv-000002-%'
+    """),
+    "kg_maintenance" -> Oracles.withGraph(
+      "SELECT node_key, 'default' AS namespace FROM nodes"
+    ),
+    "kg_packages" -> O("""
+      SELECT string_split(tool, '_')[1] AS package, count(DISTINCT tool) AS n_tools
+      FROM transcripts WHERE tool IS NOT NULL GROUP BY 1
     """)
   )
 }

@@ -137,6 +137,93 @@ object GraphOps {
       .join(state.select(col("node_key"), col("muted")), Seq("node_key"), "left")
       .withColumn("muted", coalesce(col("muted"), lit(false)))
 
+  /** D19+D20 prune (btreemap_graph.rs:756-885 + 708-716): remove
+    * never-called Function nodes AND every incident edge, returning the
+    * rewritten graph. 'Uncalled' stands in for the reference's 3-source
+    * orphan definition, which degenerates here (every non-stub function is
+    * a handler-edge target). Two anti-joins + two edge semi-filters — no
+    * driver loop, scale-safe.
+    */
+  def pruneUncalledFunctions(nodes: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
+    val pruned = uncalledFunctions(nodes, edges).select("node_key")
+    val keptNodes = nodes.join(pruned, Seq("node_key"), "left_anti")
+    val keptEdges = edges
+      .join(pruned.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_anti")
+      .join(pruned.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_anti")
+    (keptNodes, keptEdges)
+  }
+
+  /** D20 remove_node (btreemap_graph.rs:708-716): one node + incident edges. */
+  def removeNode(nodes: DataFrame, edges: DataFrame, key: String): (DataFrame, DataFrame) = {
+    val keptNodes = nodes.where(col("node_key") =!= key)
+    val keptEdges = edges.where(col("src_key") =!= key && col("dst_key") =!= key)
+    (keptNodes, keptEdges)
+  }
+
+  /** D18 deduplicate_nodes (btreemap_graph.rs:718-754): drop an unverified
+    * Function stub when a same-name function exists in a real conversation
+    * AND that keeper is an OPERAND-edge target (the reference keeps the
+    * Class-owned method). Returns the surviving Function nodes.
+    */
+  def dedupStubFunctions(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val operandTargets = edges
+      .where(col("edge_type") === "OPERAND")
+      .select(col("dst_key").as("node_key"))
+      .distinct()
+    val keepNames = nodes
+      .where(col("node_type") === "Function" && col("conv_id") =!= "unverified")
+      .join(operandTargets, Seq("node_key"), "left_semi")
+      .select("name")
+      .distinct()
+    val stubsToDrop = nodes
+      .where(col("node_type") === "Function" && col("conv_id") === "unverified")
+      .join(keepNames, Seq("name"), "left_semi")
+      .select("node_key")
+    nodes
+      .where(col("node_type") === "Function")
+      .join(stubsToDrop, Seq("node_key"), "left_anti")
+  }
+
+  /** D17 filter_out_nodes_without_children (btreemap_graph.rs:664-706):
+    * keep Conversation parents that own at least one real Function child.
+    */
+  def convsWithFunctions(nodes: DataFrame): DataFrame =
+    nodes
+      .where(col("node_type") === "Conversation")
+      .join(
+        nodes
+          .where(col("node_type") === "Function" && col("conv_id") =!= "unverified")
+          .select("conv_id")
+          .distinct(),
+        Seq("conv_id"),
+        "left_semi"
+      )
+
+  /** D22 extend_graph (btreemap_graph.rs:43-47): merge two graphs with
+    * MERGE-by-key dedup (identical keys carry identical rows here).
+    */
+  def extendGraph(
+      n1: DataFrame, e1: DataFrame, n2: DataFrame, e2: DataFrame
+  ): (DataFrame, DataFrame) =
+    (n1.unionByName(n2).dropDuplicates("node_key"), e1.unionByName(e2).distinct())
+
+  /** G10 degree/importance writeback (mcp/src/graph/queries.ts:1065-1141):
+    * in/out degree plus entry (no callers, has callees), utility (callees
+    * none, callers some), and hub (in*out) scores per node.
+    */
+  def degrees(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val outd = edges.groupBy(col("src_key").as("node_key")).agg(count(lit(1)).as("out_degree"))
+    val ind = edges.groupBy(col("dst_key").as("node_key")).agg(count(lit(1)).as("in_degree"))
+    nodes
+      .select("node_key")
+      .join(outd, Seq("node_key"), "left")
+      .join(ind, Seq("node_key"), "left")
+      .na.fill(0L, Seq("in_degree", "out_degree"))
+      .withColumn("entry_score", col("in_degree") === 0 && col("out_degree") > 0)
+      .withColumn("utility_score", col("out_degree") === 0 && col("in_degree") > 0)
+      .withColumn("hub_score", col("in_degree") * col("out_degree"))
+  }
+
   /** D14 process_endpoint_groups (btreemap_graph.rs:523-602): endpoint
     * identities grouped under their longest matching prefix group. The
     * reference renames nodes AFTER key assignment and must re-key every

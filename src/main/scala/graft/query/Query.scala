@@ -62,6 +62,65 @@ object Query {
     expand(undirected, start, maxDepth).where(col("node_key") === targetKey)
   }
 
+  /** G9 shortest_path WITH path reconstruction (queries.ts:820-849 returns
+    * the actual node sequence). BFS with deterministic min-parent tracking;
+    * the ≤ maxDepth backtrack is a driver loop of single-row lookups — a
+    * point query, like the reference's. Output: one row (path, depth), or
+    * empty if unreachable.
+    */
+  def shortestPath(
+      edges: DataFrame,
+      startKey: String,
+      targetKey: String,
+      maxDepth: Int
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val undirected = edges
+      .select(col("src_key"), col("dst_key"))
+      .unionByName(edges.select(col("dst_key").as("src_key"), col("src_key").as("dst_key")))
+      .distinct()
+      .localCheckpoint()
+
+    var visited = Seq((startKey, 0, null: String)).toDF("node_key", "depth", "parent")
+      .localCheckpoint()
+    var frontier = visited.select("node_key")
+    var found = startKey == targetKey
+    var d = 0
+    while (d < maxDepth && !found && !frontier.isEmpty) {
+      val next = frontier
+        .join(undirected, frontier("node_key") === undirected("src_key"))
+        .select(col("dst_key").as("node_key"), col("src_key").as("parent"))
+        .groupBy("node_key")
+        .agg(min("parent").as("parent"))
+        .join(visited.select("node_key"), Seq("node_key"), "left_anti")
+        .withColumn("depth", lit(d + 1))
+        .select("node_key", "depth", "parent")
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select("node_key")
+      found = !next.where(col("node_key") === targetKey).isEmpty
+      d += 1
+    }
+    val vc = visited.cache()
+    val hit = vc.where(col("node_key") === targetKey)
+      .select("depth", "parent").as[(Int, String)].collect().headOption
+    val out = hit match {
+      case None => Seq.empty[(String, Int)]
+      case Some((depth, parent0)) =>
+        var path = List(targetKey)
+        var cur = parent0
+        while (cur != null) {
+          path = cur :: path
+          cur = vc.where(col("node_key") === cur)
+            .select("parent").as[String].collect().headOption.orNull
+        }
+        Seq((path.mkString("->"), depth))
+    }
+    vc.unpersist()
+    out.toDF("path", "depth")
+  }
+
   /** G10 pagerank: fixed 20 iterations, damping 0.85 over the projected
     * entity graph (queries.ts:1065-1141). Dangling mass is redistributed
     * uniformly so ranks sum to N (matching GDS semantics closely enough for
