@@ -402,6 +402,16 @@ object SparkEntry {
     // H3 maintenance backfill (set_default_namespace analog)
     "kg_maintenance" -> ((s, dir) =>
       graphOf(s, dir).nodes.select(col("node_key"), lit("default").as("namespace"))),
+    // H1 partition-level incremental rebuild: re-extract only changed
+    // conversations, reuse the previous mention table for the rest; the
+    // node table must equal the full rebuild's (same oracle as kg_nodes)
+    "kg_incremental" -> { (s, dir) =>
+      val newT = Transcripts.fromEvents(s, dir)
+      val cutoff = lit("2024-01-08").cast("timestamp")
+      val oldT = newT.where(col("ts") < cutoff)
+      val oldMentions = Mentions.extract(oldT) // the prior run's committed mention table
+      pipeline.Incremental.build(s, oldT, oldMentions, newT).nodes
+    },
     // E7 package nodes: tool-name prefix dimension
     "kg_packages" -> { (s, dir) =>
       Transcripts.fromEvents(s, dir)
@@ -490,6 +500,10 @@ object SparkEntry {
       FROM reqs r JOIN eps e ON e.norm_path = r.norm_path AND e.verb = r.verb
     """),
     "kg_nodes" -> Oracles.withGraph(
+      "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped FROM nodes"
+    ),
+    // the incremental twin must reproduce the full rebuild bit-for-bit
+    "kg_incremental" -> Oracles.withGraph(
       "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped FROM nodes"
     ),
     "kg_edges" -> Oracles.withGraph(

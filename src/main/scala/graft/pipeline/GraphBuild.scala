@@ -116,10 +116,22 @@ object GraphBuild {
     // Catalyst regex union — identical output (asserted by ExtractionSpec);
     // the Catalyst twin remains the oracle-checked kg_mentions surface.
     // Oversize turns (A4) are spine-only: never fed to the extractor.
-    val mentions = Mentions
-      .extractPartitioned(spark, t.where(length(col("text")) <= MaxTurnChars))
-      .toDF()
-      .localCheckpoint()
+    val m = Mentions.extractPartitioned(spark, t.where(length(col("text")) <= MaxTurnChars))
+    buildCore(spark, t, m.toDF())
+  }
+
+  /** H1 entry point: everything downstream of extraction, over a mention
+    * table maintained INCREMENTALLY (see [[Incremental]]) — the reference
+    * re-parses only changed files, then re-links the whole (much smaller)
+    * graph (graph_ops.rs:95-274).
+    */
+  def buildFromMentions(spark: SparkSession, transcripts: DataFrame, mentions: DataFrame): Graph = {
+    val t = transcripts.repartition(col("conv_id")).localCheckpoint(eager = false)
+    buildCore(spark, t, mentions)
+  }
+
+  private def buildCore(spark: SparkSession, t: DataFrame, mentions0: DataFrame): Graph = {
+    val mentions = mentions0.localCheckpoint()
 
     val entityM = mentions.where(col("mention_type") === "Entity")
     val fnDefs = mentions.where(col("mention_type") === "FunctionDef")

@@ -79,6 +79,33 @@ class ResumeSpec extends SparkSpec {
     assert(mentionPks.contains("Entity"))
   }
 
+  test("H1 incremental: only changed conversations re-extract; output equals full rebuild") {
+    import graft.pipeline.{GraphBuild, Incremental}
+    val newT = SparkTestSession.transcripts
+    // "previous" corpus: one conversation modified, the rest identical
+    val victim = newT.select("conv_id").orderBy("conv_id").first().getString(0)
+    val oldT = newT.withColumn(
+      "text",
+      when(col("conv_id") === victim, concat(col("text"), lit(" OLD"))).otherwise(col("text"))
+    )
+    val oldMentions = Mentions.extract(oldT)
+
+    // change detection: exactly the one modified conversation
+    val p = Incremental.plan(oldT, oldMentions, newT)
+    val changed = p.changed.collect().map(_.getString(0)).toSet
+    assert(changed == Set(victim), s"changed set must be exactly the modified conv: $changed")
+    // ...and only that conversation's turns flow into re-extraction
+    val deltaConvs = p.deltaT.select("conv_id").distinct().collect().map(_.getString(0)).toSet
+    assert(deltaConvs == Set(victim))
+    assert(p.deltaT.count() == newT.where(col("conv_id") === victim).count())
+
+    // the incremental graph equals the full rebuild
+    val inc = Incremental.build(spark, oldT, oldMentions, newT)
+    val full = GraphBuild.build(spark, newT)
+    assertSameRows(full.nodes, inc.nodes)
+    assertSameRows(full.edges, inc.edges)
+  }
+
   test("snapshot commit is atomic: a stray tmp manifest is never visible") {
     val dir = Files.createTempDirectory("graft-atomic").toString
     import spark.implicits._
