@@ -148,7 +148,13 @@ object GraphBuild {
     // label. The cluster dimension is tiny (distinct canonicals), so the CC
     // loop runs on a broadcast-scale table regardless of corpus size.
     val resolvedEntities0 = CallResolver.resolveEntities(spark, entityM)
-    val canonNames = resolvedEntities0.select(col("canonical").as("name")).distinct()
+    // one eager materialization of the tiny canonical dimension: every CC
+    // consumer (vertices, shingles, candidate pairs) reads the 8-row leaf
+    // instead of re-scanning the full mention table per use
+    val canonNames = resolvedEntities0
+      .select(col("canonical").as("name"))
+      .distinct()
+      .localCheckpoint()
     val clusters = graft.canon.Canon
       .connectedComponents(canonNames, graft.canon.Canon.candidatePairs(canonNames, 0.3))
       .withColumnRenamed("name", "canonical")
@@ -173,6 +179,8 @@ object GraphBuild {
     val fnNodes0 = fnDefs
       .groupBy(col("name"), col("conv_id"))
       .agg(min(col("turn_idx")).as("turn_idx"))
+      // consumed by ~6 node/edge branches — one shared computation
+      .localCheckpoint(eager = false)
     val fnNodes = mkNodes(fnNodes0, NodeTypes.Function, col("name"), col("conv_id"), col("turn_idx"))
 
     // unverified call targets become stub nodes (D13: file "<unverified>")
@@ -184,6 +192,7 @@ object GraphBuild {
     val epIds = endpoints
       .select(PathNorm.canonical(PathNorm.normalizeBackend(col("path"))).as("name"), col("verb"))
       .distinct()
+      .localCheckpoint(eager = false) // 4 consumers (nodes, groups, 2 edge branches)
     val epNodes = mkNodes(epIds, NodeTypes.Endpoint, col("name"), lit(""), lit(-1), verb = col("verb"))
 
     val reqNodes = mkNodes(requests, NodeTypes.Request, col("name"), col("conv_id"), col("turn_idx"))
@@ -194,6 +203,7 @@ object GraphBuild {
       .select(regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("name"))
       .where(length(col("name")) > 0)
       .distinct()
+      .localCheckpoint(eager = false)
     val pageNodes = mkNodes(pageIds, NodeTypes.Page, col("name"), lit(""), lit(-1))
 
     // D14 longest-prefix endpoint groups as first-class parent nodes

@@ -37,7 +37,10 @@ object CallResolver {
     val spark = transcripts.sparkSession
     import spark.implicits._
     val sameName = (df: DataFrame) => df.withColumn("resolved_name", col("name"))
+    // five strategy indexes derive from defConvs — one lazy checkpoint so
+    // they share a single computation instead of five mention-table scans
     val defConvs = defs.select(col("name"), col("conv_id").as("def_conv")).distinct()
+      .localCheckpoint(eager = false)
 
     // global_unique (call_finder.rs:69-84: name unique among non-empty
     // bodies): exactly one distinct defining conversation.
@@ -65,6 +68,15 @@ object CallResolver {
       )
       .select(col("name"), col("tool"), col("conv_id").as("def_conv"))
       .distinct()
+    // Pre-aggregate to per-(name, tool) minima BEFORE joining mentions: the
+    // (name, tool) key has dictionary-size cardinality, so joining the raw
+    // (name, tool, def_conv) table against calls explodes quadratically
+    // (every call x every importable def conv) before the min() collapses
+    // it — measured 8x the whole build time at bench scale. min over
+    // per-tool minima == min over the union, so semantics are identical.
+    val importIndex = defTools
+      .groupBy("name", "tool")
+      .agg(min("def_conv").as("tool_min_conv"))
 
     // operand (0.70, call_finder.rs:99-108 attempt 5): resolve through the
     // receiver's type — strip the _handler suffix, map the alias to its
@@ -125,9 +137,9 @@ object CallResolver {
           sameName(
             rem
               .join(convTools, Seq("conv_id"))
-              .join(defTools, Seq("name", "tool"))
+              .join(broadcast(importIndex), Seq("name", "tool"))
               .groupBy("conv_id", "turn_idx", "name")
-              .agg(min("def_conv").as("resolved_conv"))
+              .agg(min("tool_min_conv").as("resolved_conv"))
           )
       ),
       Cascade.Strategy(
