@@ -58,6 +58,14 @@ object Bench {
     s
   }
 
+  /** The build DAG has ~40 known-size shuffles; AQE's per-query-stage jobs
+    * add ~100 sequential materialization barriers for no re-planning win
+    * (measured 128 s -> 103 s at local[8]/scale 64 with AQE off). The query
+    * suite keeps AQE on — runtime re-planning is the production default.
+    */
+  private def aqe(spark: SparkSession, on: Boolean): Unit =
+    spark.conf.set("spark.sql.adaptive.enabled", on.toString)
+
   /** One full build + single-action node/edge count; returns
     * (buildSec, nodes, edges).
     */
@@ -88,7 +96,9 @@ object Bench {
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
 
     val spark = session(cpus)
+    aqe(spark, on = false)
     val runs = (1 to math.max(1, reps)).map(_ => timedBuild(spark, sfDir, scale))
+    aqe(spark, on = true)
     val buildSecs = runs.map(_._1).sorted
     val buildSec = buildSecs(buildSecs.length / 2) // median
     val nNodes = runs.head._2
@@ -120,6 +130,7 @@ object Bench {
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
         val s2 = session(lowCpus.toString)
+        aqe(s2, on = false)
         val (lowSec, _, lowEdges) = timedBuild(s2, sfDir, scale)
         val lowTp = lowEdges / lowSec
         val eff = (triplesPerSec / lowTp) / (cpus.toDouble / lowCpus)

@@ -15,6 +15,7 @@ object Probe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,6 +31,81 @@ object Probe {
       Bench.scaledTranscripts(spark, sfDir, scale).repartition(col("conv_id")).localCheckpoint()
     }
     println(s"[probe] t rows: ${t.count()} partitions: ${t.rdd.getNumPartitions}")
+
+    // SPARK_GRAFT_PROBE=cascade|build: isolated single-phase measurement
+    // (the sequential probe below accumulates cached state that pollutes
+    // later phases' numbers)
+    sys.env.get("SPARK_GRAFT_PROBE") match {
+      case Some("cascade") =>
+        val m0 = Mentions.extractPartitioned(spark, t).toDF().localCheckpoint()
+        // per-job wall time: find which of the cascade's jobs eats the clock
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, j.time)
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val dur = (j.time - starts.getOrDefault(j.jobId, j.time)) / 1000.0
+            if (dur > 0.5) println(f"[probe]   job ${j.jobId}: $dur%.1f s")
+          }
+        })
+        time("ISOLATED resolveCalls (count)") {
+          graft.resolve.CallResolver
+            .resolveCalls(
+              m0.where(col("mention_type") === "FunctionCall"),
+              m0.where(col("mention_type") === "FunctionDef"),
+              t
+            )
+            .count()
+        }
+        spark.stop(); return
+      case Some("canon-iso") =>
+        import spark.implicits._
+        val names = Seq("postgres", "kafka", "redis", "s3", "spark", "flink", "airflow",
+          "sparkengine").toDF("name")
+        time("candidatePairs on literal 8 names (count)") {
+          graft.canon.Canon.candidatePairs(names, 0.3).count()
+        }
+        time("candidatePairs AGAIN (warm)") {
+          graft.canon.Canon.candidatePairs(names, 0.3).count()
+        }
+        spark.stop(); return
+      case Some("canon") =>
+        val m0 = Mentions.extractPartitioned(spark, t).toDF().localCheckpoint()
+        val re0 = graft.resolve.CallResolver
+          .resolveEntities(spark, m0.where(col("mention_type") === "Entity"))
+        val names = time("canonNames distinct (localCheckpoint)") {
+          re0.select(col("canonical").as("name")).distinct().localCheckpoint()
+        }
+        val pairs = time("candidatePairs (count)") {
+          val p = graft.canon.Canon.candidatePairs(names, 0.3); p.count(); p
+        }
+        time("connectedComponents") {
+          graft.canon.Canon.connectedComponents(names, pairs).count()
+        }
+        spark.stop(); return
+      case Some("build") =>
+        val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            starts.put(j.jobId, j.time)
+            val stages = j.stageInfos.map(s => s"${s.name.takeWhile(_ != ' ')}x${s.numTasks}")
+              .take(6).mkString(",")
+            println(s"[probe]   job ${j.jobId} start: $stages")
+          }
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val dur = (j.time - starts.getOrDefault(j.jobId, j.time)) / 1000.0
+            if (dur > 0.5) println(f"[probe]   job ${j.jobId} END: $dur%.1f s")
+          }
+        })
+        time("ISOLATED full build (edges.count)") {
+          graft.pipeline.GraphBuild.build(spark, t).edges.count()
+        }
+        println(s"[probe] build jobs: " +
+          s"${spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0}")
+        spark.stop(); return
+      case _ =>
+    }
 
     val mCatalyst = time("mentions Catalyst union (count)") {
       val m = Mentions.extract(t); m.count(); m

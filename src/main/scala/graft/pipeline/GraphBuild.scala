@@ -111,6 +111,13 @@ object GraphBuild {
     // t is a LAZY local checkpoint: the eager mentions checkpoint below
     // materializes both in ONE job (t's partitions persist as they stream
     // through the extractor), halving the up-front barrier count.
+    // Storage-level study (scale 64, local[8] / local[2] build seconds):
+    // deserialized localCheckpoint 115/177, columnar MEMORY_AND_DISK_SER
+    // 133/363, DISK_ONLY 156/321. localCheckpoint wins THROUGHPUT at both
+    // parallelism levels (its worse 2->8 ratio is the single-box GC/memory
+    // artifact, not plan behavior) — so it stays. On a real cluster each
+    // executor holds 1/N of the checkpoint, which removes the shared-heap
+    // residency that drives the artifact.
     val t = transcripts.repartition(col("conv_id")).localCheckpoint(eager = false)
     // ONE fused mapPartitions pass (broadcast trie) instead of the 4-branch
     // Catalyst regex union — identical output (asserted by ExtractionSpec);

@@ -33,14 +33,142 @@ object CallResolver {
     * through the alias dictionary to a sibling handler of the same
     * canonical entity (the receiver's data_type, call_finder.rs:90-108).
     */
+  /** Default resolution path: the same 7-strategy semantics expressed as a
+    * SINGLE chain of left joins + a priority CASE — exactly the shape of the
+    * DuckDB oracle's rcalls CTE. Because every strategy index is a
+    * deterministic per-row function, the first-hit-wins remainder chain and
+    * the left-join CASE are equivalent (asserted in CascadeSpec against
+    * [[resolveCallsCascade]]); the flat form runs as ONE job with no
+    * per-pass materialization barriers, which removes the cascade's
+    * driver-sequential Amdahl term (~25 s of fixed cost at bench scale).
+    */
   def resolveCalls(calls: DataFrame, defs: DataFrame, transcripts: DataFrame): DataFrame = {
     val spark = transcripts.sparkSession
     import spark.implicits._
-    val sameName = (df: DataFrame) => df.withColumn("resolved_name", col("name"))
-    // five strategy indexes derive from defConvs — one lazy checkpoint so
-    // they share a single computation instead of five mention-table scans
+    // eager serialized persist: five strategy-index builders
+    // (gu/sc0/defCanon/byDate/byUser) run as CONCURRENT broadcast jobs —
+    // each would otherwise re-derive this distinct from the mention table
     val defConvs = defs.select(col("name"), col("conv_id").as("def_conv")).distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
+
+    val globallyUnique = defConvs
+      .groupBy("name")
+      .agg(count(lit(1)).as("n"), min("def_conv").as("gu_conv"))
+      .where(col("n") === 1)
+      .drop("n")
+    val convTools = transcripts
+      .where(col("tool").isNotNull)
+      .select(col("conv_id"), col("tool"))
+      .distinct()
+    val importIndex = defs
+      .select("conv_id", "turn_idx", "name")
+      .join(
+        transcripts
+          .where(col("tool").isNotNull)
+          .select(col("conv_id"), col("turn_idx"), col("tool")),
+        Seq("conv_id", "turn_idx")
+      )
+      .select(col("name"), col("tool"), col("conv_id").as("def_conv"))
+      .distinct()
+      .groupBy("name", "tool")
+      .agg(min("def_conv").as("tool_min_conv"))
+    val dict = Dictionary.aliasToCanonical.toSeq.toDF("call_alias", "cd_canonical")
+    val defCanon = defConvs
+      .withColumn("call_alias", regexp_replace(col("name"), "_handler$", ""))
+      .join(broadcast(dict), Seq("call_alias"))
+      .groupBy("cd_canonical")
+      .agg(min(struct(col("def_conv"), col("name"))).as("m"))
+      .select(col("cd_canonical"), col("m.def_conv").as("oc_conv"), col("m.name").as("oc_name"))
+    val byDate = defConvs
+      .withColumn("date_part", substring(col("def_conv"), 13, 8))
+      .groupBy("name", "date_part")
+      .agg(min("def_conv").as("nv_conv"))
+    val byUser = defConvs
+      .withColumn("user_prefix", substring(col("def_conv"), 1, 11))
+      .groupBy("name", "user_prefix")
+      .agg(min("def_conv").as("bu_conv"))
+
+    val c = calls.select("conv_id", "turn_idx", "name")
+    // per-call import resolution, restricted to the call's own conv x name
+    // (the full conv x name matrix would be corpus-sized)
+    val impRes = c
+      .join(convTools, Seq("conv_id"))
+      .join(broadcast(importIndex), Seq("name", "tool"))
+      .groupBy("conv_id", "turn_idx", "name")
+      .agg(min("tool_min_conv").as("imp_conv"))
+
+    val sc0 = defConvs
+      .select(col("name"), col("def_conv").as("conv_id"))
+      .distinct()
+      .withColumn("sc_hit", lit(1))
+
+    val joined = c
+      .withColumn("date_part", substring(col("conv_id"), 13, 8))
+      .withColumn("user_prefix", substring(col("conv_id"), 1, 11))
+      .withColumn("call_alias", regexp_replace(col("name"), "_handler$", ""))
+      .join(broadcast(globallyUnique), Seq("name"), "left")
+      .join(sc0, Seq("name", "conv_id"), "left")
+      .join(impRes, Seq("conv_id", "turn_idx", "name"), "left")
+      .join(broadcast(dict), Seq("call_alias"), "left")
+      .join(broadcast(defCanon), Seq("cd_canonical"), "left")
+      .join(broadcast(byDate), Seq("name", "date_part"), "left")
+      .join(broadcast(byUser), Seq("name", "user_prefix"), "left")
+
+    joined.select(
+      col("conv_id"),
+      col("turn_idx"),
+      col("name"),
+      coalesce(
+        col("gu_conv"),
+        when(col("sc_hit").isNotNull, col("conv_id")),
+        col("imp_conv"),
+        col("oc_conv"),
+        col("nv_conv"),
+        col("bu_conv"),
+        lit("unverified")
+      ).as("resolved_conv"),
+      when(
+        col("gu_conv").isNull && col("sc_hit").isNull && col("imp_conv").isNull &&
+          col("oc_conv").isNotNull,
+        col("oc_name")
+      ).otherwise(col("name")).as("resolved_name"),
+      when(col("gu_conv").isNotNull, 0.90)
+        .when(col("sc_hit").isNotNull, 0.85)
+        .when(col("imp_conv").isNotNull, 0.80)
+        .when(col("oc_conv").isNotNull, 0.70)
+        .when(col("nv_conv").isNotNull, 0.60)
+        .when(col("bu_conv").isNotNull, 0.45)
+        .otherwise(0.35)
+        .cast("double")
+        .as("confidence"),
+      when(col("gu_conv").isNotNull, "global_unique")
+        .when(col("sc_hit").isNotNull, "same_conv")
+        .when(col("imp_conv").isNotNull, "import")
+        .when(col("oc_conv").isNotNull, "operand")
+        .when(col("nv_conv").isNotNull, "nested_var")
+        .when(col("bu_conv").isNotNull, "same_dir")
+        .otherwise("unverified")
+        .as("strategy")
+    )
+  }
+
+  /** Reference implementation: the same semantics as sequential
+    * first-hit-wins passes over the unresolved remainder (Cascade.run) —
+    * the shape a STATEFUL cascade needs; kept as the machinery demo and
+    * asserted row-identical to [[resolveCalls]] in CascadeSpec.
+    */
+  def resolveCallsCascade(calls: DataFrame, defs: DataFrame, transcripts: DataFrame): DataFrame = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val sameName = (df: DataFrame) => df.withColumn("resolved_name", col("name"))
+    // Five strategy indexes derive from defConvs, and Spark computes
+    // broadcast build sides on CONCURRENT threads: with a lazy shared
+    // subtree, those threads race to compute the same unmaterialized
+    // distinct (duplicating the mention-table scan per broadcast, worse
+    // with more cores — measured 60s at local[8] vs 26s at local[2]).
+    // EAGER checkpoint materializes it exactly once, synchronously.
+    val defConvs = defs.select(col("name"), col("conv_id").as("def_conv")).distinct()
+      .localCheckpoint()
 
     // global_unique (call_finder.rs:69-84: name unique among non-empty
     // bodies): exactly one distinct defining conversation.
@@ -77,6 +205,7 @@ object CallResolver {
     val importIndex = defTools
       .groupBy("name", "tool")
       .agg(min("def_conv").as("tool_min_conv"))
+      .localCheckpoint() // eager: the defs-x-transcripts join runs ONCE
 
     // operand (0.70, call_finder.rs:99-108 attempt 5): resolve through the
     // receiver's type — strip the _handler suffix, map the alias to its
@@ -123,7 +252,7 @@ object CallResolver {
           sameName(
             rem
               .join(
-                defConvs.select(col("name"), col("def_conv").as("conv_id")).distinct(),
+                broadcast(defConvs.select(col("name"), col("def_conv").as("conv_id")).distinct()),
                 Seq("name", "conv_id"),
                 "left_semi"
               )
@@ -136,7 +265,7 @@ object CallResolver {
         rem =>
           sameName(
             rem
-              .join(convTools, Seq("conv_id"))
+              .join(broadcast(convTools), Seq("conv_id"))
               .join(broadcast(importIndex), Seq("name", "tool"))
               .groupBy("conv_id", "turn_idx", "name")
               .agg(min("tool_min_conv").as("resolved_conv"))
@@ -159,7 +288,7 @@ object CallResolver {
           sameName(
             rem
               .withColumn("date_part", substring(col("conv_id"), 13, 8))
-              .join(byDate, Seq("name", "date_part"))
+              .join(broadcast(byDate), Seq("name", "date_part"))
               .drop("date_part")
           )
       ),
@@ -170,7 +299,7 @@ object CallResolver {
           sameName(
             rem
               .withColumn("user_prefix", substring(col("conv_id"), 1, 11))
-              .join(byUser, Seq("name", "user_prefix"))
+              .join(broadcast(byUser), Seq("name", "user_prefix"))
               .drop("user_prefix")
           )
       )

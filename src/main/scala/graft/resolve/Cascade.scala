@@ -59,23 +59,27 @@ object Cascade {
     // left_anti remainder. Without persistence, the strategy-k plan would
     // re-evaluate every earlier strategy's joins (and the full upstream
     // extraction) once per consumer — at sf0.1 that plan blowup made the
-    // 4-strategy cascade cost 81.6 s (round-1 bench). Lazy localCheckpoint
-    // materializes each pass once on first use and truncates the lineage,
-    // so the k-th pass plans against leaves, not the whole cascade prefix.
-    var remainder = mentions.localCheckpoint(eager = false)
+    // 4-strategy cascade cost 81.6 s (round-1 bench). persist() (NOT
+    // localCheckpoint) gives each pass exactly-once computation with cache
+    // reuse while keeping everything inside ONE job: per-pass eager/lazy
+    // checkpoints added ~14 driver-sequential materialization barriers,
+    // which dominated the build's Amdahl fixed term at bench scale.
+    var remainder = mentions.persist()
     var out: Option[DataFrame] = None
     strategies.foreach { st =>
       val resolved = st
         .resolve(remainder)
         .withColumn("confidence", lit(st.confidence))
         .withColumn("strategy", lit(st.name))
-        .localCheckpoint(eager = false)
+        .persist()
       out = Some(out.fold(resolved)(_.unionByName(resolved)))
       // shrink the remainder — the reference stops at the first hit per
       // mention; left_anti on the mention key realizes that per-row.
+      // the anti side is the (small) per-pass hit set: broadcast it so the
+      // remainder never shuffles — the cascade stays one narrow stage chain
       remainder = remainder
-        .join(resolved.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .localCheckpoint(eager = false)
+        .join(broadcast(resolved.select(keyCols.map(col): _*)), keyCols, "left_anti")
+        .persist()
     }
     val withFallback = fallback match {
       case Some(fb) =>

@@ -128,6 +128,17 @@ class CascadeSpec extends SparkSpec {
     assert(strategies.size >= 3, strategies)
   }
 
+  test("flat left-join cascade == remainder-pass cascade on the corpus") {
+    val m = SparkTestSession.graph.mentions
+    val calls = m.where(col("mention_type") === "FunctionCall")
+    val defs = m.where(col("mention_type") === "FunctionDef")
+    val t = SparkTestSession.transcripts
+    assertSameRows(
+      CallResolver.resolveCalls(calls, defs, t),
+      CallResolver.resolveCallsCascade(calls, defs, t)
+    )
+  }
+
   test("saltedJoin == plain equi-join (skew defense is semantics-preserving)") {
     val probe = (1 to 500).map(i => (s"k${i % 7}", i)).toDF("name", "payload")
     val build = (0 until 7).map(i => (s"k$i", s"v$i")).toDF("name", "v")
