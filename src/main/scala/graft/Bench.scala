@@ -67,14 +67,19 @@ object Bench {
     spark.conf.set("spark.sql.adaptive.enabled", on.toString)
 
   /** One full build + single-action node/edge count; returns
-    * (buildSec, nodes, edges).
+    * (buildSec, nodes, edges, warmSec). warmSec re-times the SAME count —
+    * the node/edge operator DAG recomputed from the materialized corpus
+    * checkpoints — i.e. the steady-state operator throughput with the
+    * one-time corpus materialization and dimension/canon jobs excluded.
     */
-  private def timedBuild(spark: SparkSession, sfDir: String, scale: Int): (Double, Long, Long) = {
+  private def timedBuild(
+      spark: SparkSession, sfDir: String, scale: Int
+  ): (Double, Long, Long, Double) = {
     val b0 = System.nanoTime()
     val g = GraphBuild.build(spark, scaledTranscripts(spark, sfDir, scale))
     // nodes and edges counted in ONE action so their (independent) stage
     // graphs overlap instead of running as two serial barrier chains
-    val counts = g.nodes
+    def countBoth(): Map[String, Long] = g.nodes
       .select(lit("nodes").as("k"))
       .unionByName(g.edges.select(lit("edges").as("k")))
       .groupBy("k")
@@ -82,8 +87,12 @@ object Bench {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
+    val counts = countBoth()
     val sec = (System.nanoTime() - b0) / 1e9
-    (sec, counts.getOrElse("nodes", 0L), counts.getOrElse("edges", 0L))
+    val w0 = System.nanoTime()
+    countBoth()
+    val warmSec = (System.nanoTime() - w0) / 1e9
+    (sec, counts.getOrElse("nodes", 0L), counts.getOrElse("edges", 0L), warmSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,8 +108,10 @@ object Bench {
     aqe(spark, on = false)
     val runs = (1 to math.max(1, reps)).map(_ => timedBuild(spark, sfDir, scale))
     aqe(spark, on = true)
+    val warmSec = runs.map(_._4).min
     val buildSecs = runs.map(_._1).sorted
-    val buildSec = buildSecs(buildSecs.length / 2) // median
+    val buildSec = buildSecs(buildSecs.length / 2) // median (headline)
+    val buildSecMin = buildSecs.head // best-of-N (variance on this box ±50%)
     val nNodes = runs.head._2
     val nEdges = runs.head._3
     val triplesPerSec = nEdges / buildSec
@@ -121,22 +132,35 @@ object Bench {
           name -> (System.nanoTime() - t0) / 1e9
         }
 
-    // scaling leg: same job, same input, a quarter of the cores
+    // Scaling legs: same job, same input, N vs 4N cores — measured at a
+    // LARGER replication (default 64, ~6.4M turns) than the headline so the
+    // parallel term dominates the fixed single-box overhead (driver, GC,
+    // checkpoint residency) that otherwise swamps the ratio at scale 16.
     val lowCpus = 2
+    val scalingScale = sys.env.getOrElse("SPARK_GRAFT_SCALING_SCALE", "64").toInt
     val scalingJson =
       if (!runScaling) "null"
       else {
+        aqe(spark, on = false)
+        val (hiSec, _, hiEdges, hiWarm) = timedBuild(spark, sfDir, scalingScale)
+        val hiTp = hiEdges / hiSec
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
         val s2 = session(lowCpus.toString)
         aqe(s2, on = false)
-        val (lowSec, _, lowEdges) = timedBuild(s2, sfDir, scale)
+        val (lowSec, _, lowEdges, lowWarm) = timedBuild(s2, sfDir, scalingScale)
         val lowTp = lowEdges / lowSec
-        val eff = (triplesPerSec / lowTp) / (cpus.toDouble / lowCpus)
+        val eff = (hiTp / lowTp) / (cpus.toDouble / lowCpus)
+        // steady-state operator-DAG scaling: same counts recomputed from the
+        // materialized corpus checkpoints (one-time costs excluded)
+        val effWarm = (lowWarm / hiWarm) / (cpus.toDouble / lowCpus)
         s2.stop()
-        s"""{"cpus_low":$lowCpus,"build_sec_low":$lowSec,"triples_per_sec_low":$lowTp,""" +
-          s""""efficiency_${lowCpus}_to_$cpus":$eff}"""
+        s"""{"scale":$scalingScale,"cpus_high":$cpus,"build_sec_high":$hiSec,""" +
+          s""""triples_per_sec_high":$hiTp,"cpus_low":$lowCpus,"build_sec_low":$lowSec,""" +
+          s""""triples_per_sec_low":$lowTp,"efficiency_${lowCpus}_to_$cpus":$eff,""" +
+          s""""warm_sec_high":$hiWarm,"warm_sec_low":$lowWarm,""" +
+          s""""efficiency_warm_${lowCpus}_to_$cpus":$effWarm}"""
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -144,9 +168,11 @@ object Bench {
     val runsJson = runs.map(_._1).mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""cpus":$cpus,"scale":$scale,"build_sec":$buildSec,"build_runs":$runsJson,""" +
+        s""""cpus":$cpus,"scale":$scale,"build_sec":$buildSec,"build_sec_min":$buildSecMin,""" +
+        s""""build_runs":$runsJson,""" +
         s""""heap_gb":$heapGb,"prime_sec":$primeSec,"nodes":$nNodes,"edges":$nEdges,""" +
-        s""""triples_per_sec":$triplesPerSec,"scaling":$scalingJson}"""
+        s""""triples_per_sec":$triplesPerSec,"warm_recount_sec":$warmSec,""" +
+        s""""scaling":$scalingJson}"""
     )
   }
 }

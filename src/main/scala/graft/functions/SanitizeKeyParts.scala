@@ -25,6 +25,19 @@ case class SanitizeKeyParts(children: Seq[Expression]) extends Expression {
   override def nullable: Boolean = false
   override def foldable: Boolean = children.forall(_.foldable)
 
+  // analysis-time type check: a non-string child would otherwise pass
+  // analysis and fail at runtime (ClassCastException in eval / janino
+  // compile error in codegen)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bad = children.zipWithIndex.filterNot(_._1.dataType == StringType)
+    if (bad.isEmpty) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"SanitizeKeyParts requires StringType children; got " +
+          bad.map { case (c, i) => s"arg $i: ${c.dataType.catalogString}" }.mkString(", ")
+      )
+  }
+
   override def eval(input: InternalRow): Any = {
     val parts = new Array[UTF8String](children.length)
     var i = 0

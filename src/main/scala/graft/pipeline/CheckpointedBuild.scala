@@ -59,6 +59,11 @@ object CheckpointedBuild {
     // expensive extraction/resolution work; the final materialization reuses
     // their plans cheaply. Committing nodes/edges pins the final output.
     val g = GraphBuild.build(spark, t)
+    // debug-mode invariant guard: branches emit key-unique rows by
+    // construction; duplicated input rows would silently break MERGE (A6)
+    if (sys.env.getOrElse("SPARK_GRAFT_VALIDATE", "0") == "1") {
+      GraphBuild.validateKeyUniqueness(g.nodes)
+    }
     val nodes = r.run("nodes", "node_type")(g.nodes)
     val edges = r.run("edges", "edge_type")(g.edges)
     // silence unused-stage warnings: these stages exist for resume + lineage

@@ -33,6 +33,28 @@ object GraphBuild {
 
   final case class Graph(nodes: DataFrame, edges: DataFrame, mentions: DataFrame)
 
+  /** Guard for the MERGE invariant the build relies on instead of a global
+    * dedup exchange: every branch emits key-unique rows by construction.
+    * That holds for the current extractors over well-formed input, but
+    * duplicated input rows (repeated (conv_id, turn_idx)) would silently
+    * break it — this check makes the assumption executable. Run it in tests
+    * and debug builds (CheckpointedBuild honors SPARK_GRAFT_VALIDATE=1);
+    * it is one count over the node table.
+    */
+  def validateKeyUniqueness(nodes: DataFrame): Unit = {
+    val dups = nodes
+      .groupBy("node_key")
+      .count()
+      .where(col("count") > 1)
+      .limit(1)
+      .collect()
+    require(
+      dups.isEmpty,
+      s"node_key uniqueness invariant violated (e.g. ${dups.headOption.map(_.getString(0))}); " +
+        "check the input for duplicated (conv_id, turn_idx) rows"
+    )
+  }
+
   /** A4 oversize skip (builder/utils.rs:13 MAX_FILE_SIZE): turns longer than
     * this are materialized in the spine with skipped=true but excluded from
     * extraction (the reference skips parsing such files entirely).

@@ -77,6 +77,17 @@ class KeysSpec extends SparkSpec {
     assert(got == Seq("endpoint-apix--1-get", "endpoint-apix--1"))
   }
 
+  test("non-string children fail at analysis, not at runtime") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("i", "s")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(
+        graft.functions.Keys.nodeKey(col("i"), col("s"), col("s"), col("s")).as("k")
+      ).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
   test("interpreted eval path (no codegen) agrees with codegen path") {
     // constant folding runs the interpreted eval() — compare to the
     // codegen'd row path on the same literal input

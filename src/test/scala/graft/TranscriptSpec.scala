@@ -53,6 +53,19 @@ class TranscriptSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("duplicated input rows are caught by the key-uniqueness guard") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val row = ("conv-000900-x", 0, "user", "please check Postgres", None: Option[String], ts)
+    val dup = Seq(row, row).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val g = GraphBuild.build(spark, dup)
+    intercept[IllegalArgumentException] {
+      GraphBuild.validateKeyUniqueness(g.nodes)
+    }
+    // well-formed input passes
+    GraphBuild.validateKeyUniqueness(SparkTestSession.graph.nodes)
+  }
+
   test("A4: oversize turns keep their spine node (skipped=true) but are never extracted") {
     import spark.implicits._
     val big = "Postgres " * (GraphBuild.MaxTurnChars / 9 + 2) // > MaxTurnChars, full of aliases
