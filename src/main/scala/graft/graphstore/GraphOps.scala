@@ -22,6 +22,10 @@ object GraphOps {
   def findNodeInRange(nodes: DataFrame, convId: String, lo: Int, hi: Int): DataFrame =
     nodes.where(col("conv_id") === convId && col("turn_idx").between(lo, hi))
 
+  /** D4 suffix lookup (find_node_by_name_ends_with, graph.rs:117-204). */
+  def findNodesNameEndsWith(nodes: DataFrame, nodeType: String, suffix: String): DataFrame =
+    nodes.where(col("node_type") === nodeType && col("name").endsWith(suffix))
+
   /** D5 find_nodes_by_type (btreemap_graph.rs:978-985). */
   def findNodesByType(nodes: DataFrame, nodeType: String): DataFrame =
     nodes.where(col("node_type") === nodeType)

@@ -62,6 +62,26 @@ object Query {
     expand(undirected, start, maxDepth).where(col("node_key") === targetKey)
   }
 
+  /** G16/G17 raw read-only SQL with a write denylist
+    * (execute_raw_cypher read-mode txn, graph_ops.rs:589-658): the statement
+    * is parsed first and anything that is not a pure query — DDL/utility
+    * Commands, INSERT/UPDATE/DELETE/MERGE DML — is rejected before
+    * execution.
+    */
+  def rawSql(spark: SparkSession, sql: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val writes = plan.collect {
+      case c: Command                 => c
+      case i: InsertIntoStatement     => i
+      case u: UpdateTable             => u
+      case d: DeleteFromTable         => d
+      case m: MergeIntoTable          => m
+    }
+    require(writes.isEmpty, s"write/DDL statements are denied: ${writes.head.nodeName}")
+    spark.sql(sql)
+  }
+
   /** G9 shortest_path WITH path reconstruction (queries.ts:820-849 returns
     * the actual node sequence). BFS with deterministic min-parent tracking;
     * the ≤ maxDepth backtrack is a driver loop of single-row lookups — a

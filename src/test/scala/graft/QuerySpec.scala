@@ -9,6 +9,21 @@ import graft.graphstore.GraphOps
   * on the sf0.001 graph.
   */
 class QuerySpec extends SparkSpec {
+
+  test("G17: raw SQL write-denylist rejects DDL and DML, allows SELECT") {
+    import graft.query.Query
+    SparkTestSession.graph.nodes.createOrReplaceTempView("wd_nodes")
+    assert(Query.rawSql(spark, "SELECT count(*) AS n FROM wd_nodes").count() == 1)
+    Seq(
+      "DROP TABLE wd_nodes",
+      "CREATE TABLE wd_t (i INT) USING parquet",
+      "INSERT INTO wd_nodes SELECT * FROM wd_nodes",
+      "DELETE FROM wd_nodes WHERE 1=1",
+      "UPDATE wd_nodes SET name = 'x'"
+    ).foreach { sql =>
+      intercept[IllegalArgumentException](Query.rawSql(spark, sql))
+    }
+  }
   import spark.implicits._
 
   //     a -> b -> c -> d        (CALLS)
