@@ -10,24 +10,38 @@ import graft.sources.Transcripts
   * Headline metric: end-to-end triples/sec for the full build (corpus ->
   * mentions -> resolution -> canonicalization -> node/edge tables), the
   * MEDIAN of `SPARK_GRAFT_REPS` runs (bench variance on a shared box is
-  * large; a single sample is not reproducible). The query suite runs after
-  * an explicit untimed graph prime, so per-query numbers measure the query,
-  * not the first-touch build. A low-parallelism leg (local[2]) runs in the
-  * same process afterward and the JSON carries both throughputs plus
-  * the N->4N scaling efficiency (the north-rule two-cluster-size criterion,
-  * evidenced via parallelism levels — no real cluster in this sandbox).
+  * large; a single sample is not reproducible). Persistent blocks are purged
+  * between runs: round 2 showed that leaked localCheckpoint/cache blocks
+  * from earlier reps + the query loop drive shared-heap GC residency — a
+  * 6.5× spread on one commit ([37.3, 151.9, 244.5] s in BENCH_r02).
+  *
+  * The query suite runs after an explicit untimed prime of the shared
+  * caches (graph + mention table), so per-query numbers measure the query,
+  * not the first-touch build; after each query the harness unpersists every
+  * persistent RDD the query created (the shared caches are snapshot as a
+  * protected set at prime time).
+  *
+  * Scaling (north-rule two-cluster-size criterion, N -> 4N, efficiency
+  * ≥ 0.8; no real cluster in this sandbox, so parallelism levels stand in):
+  * the pair is ALWAYS local[2] -> local[8] regardless of the headline CPUS —
+  * round 2 ran the high leg at the headline's local[32], producing a 2->32
+  * pair on a 32-core box (driver/GC/OS contending with executors), which
+  * evidences nothing either way. Each leg runs in a FRESH SparkSession
+  * (stop + rebuild) so neither inherits the other's heap residency.
   *
   * Env knobs:
   *   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
-  *   SPARK_GRAFT_CPUS    headline local[N] + shuffle partitions (default 8:
-  *                       local[32] oversubscribes this 32-core box — the
-  *                       driver/GC/OS contend with executors, BASELINE.md)
+  *   SPARK_GRAFT_CPUS    headline local[N] (default 8; local[32]
+  *                       oversubscribes this 32-core box — BASELINE.md)
+  *   SPARK_GRAFT_PARTS   shuffle partitions for the headline session
+  *                       (default min(CPUS, 16): beyond 16-way the extra
+  *                       task concurrency only feeds the oversubscription)
   *   SPARK_GRAFT_SCALE   corpus replication factor R (default 16): input is
   *                       unioned R times with distinct conv_id suffixes so
   *                       fixed planning overhead doesn't dominate
   *   SPARK_GRAFT_REPS    headline build repetitions (default 3, median)
   *   SPARK_GRAFT_QUERIES "0" skips the per-query suite
-  *   SPARK_GRAFT_SCALING "0" skips the local[2] scaling leg
+  *   SPARK_GRAFT_SCALING "0" skips the scaling legs
   */
 object Bench {
 
@@ -46,16 +60,34 @@ object Bench {
         .drop("rep")
   }
 
-  private def session(cpus: String): SparkSession = {
+  private def session(cpus: Int, parts: Int): SparkSession = {
     val s = SparkSession
       .builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", sys.env.getOrElse("SPARK_GRAFT_UI", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  private def freshSession(cpus: Int, parts: Int): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    session(cpus, parts)
+  }
+
+  /** Unpersist every persistent RDD not in `keep` (cache/persist AND
+    * localCheckpoint blocks — both register in persistentRdds). Safe only
+    * when nothing outside `keep` will be read again; Bench guarantees that
+    * by purging at phase boundaries and after fully-consumed queries.
+    */
+  private def purgeExcept(spark: SparkSession, keep: Set[Int]): Unit = {
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep.contains(id)) rdd.unpersist(blocking = false)
+    }
   }
 
   /** The build DAG has ~40 known-size shuffles; AQE's per-query-stage jobs
@@ -97,16 +129,24 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", math.min(cpus, 16).toString).toInt
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val runScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
 
-    val spark = session(cpus)
+    val spark = session(cpus, parts)
     aqe(spark, on = false)
-    val runs = (1 to math.max(1, reps)).map(_ => timedBuild(spark, sfDir, scale))
+    val runs = (1 to math.max(1, reps)).map { _ =>
+      val r = timedBuild(spark, sfDir, scale)
+      // release the rep's checkpoint/cache blocks before the next rep: the
+      // shared caches are not populated yet, so everything is garbage here
+      purgeExcept(spark, Set.empty)
+      System.gc()
+      r
+    }
     aqe(spark, on = true)
     val warmSec = runs.map(_._4).min
     val buildSecs = runs.map(_._1).sorted
@@ -116,11 +156,14 @@ object Bench {
     val nEdges = runs.head._3
     val triplesPerSec = nEdges / buildSec
 
-    // prime the UNSCALED graph once (untimed in the per-query numbers) so
-    // graph queries measure the operator, not the first-touch build
+    // prime the UNSCALED shared caches once (untimed in the per-query
+    // numbers) so graph queries measure the operator, not the first-touch
+    // build, then snapshot the protected persistent-RDD set
     val p0 = System.nanoTime()
-    if (runQueries) SparkEntry.queries("kg_graph_size")(spark, sfDir).count()
+    if (runQueries) SparkEntry.prime(spark, sfDir)
     val primeSec = (System.nanoTime() - p0) / 1e9
+    val protectedIds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
 
     val results: Map[String, Double] =
       if (!runQueries) Map.empty
@@ -129,38 +172,41 @@ object Bench {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          purgeExcept(spark, protectedIds) // drop this query's private blocks
+          name -> sec
         }
 
-    // Scaling legs: same job, same input, N vs 4N cores — measured at a
-    // LARGER replication (default 64, ~6.4M turns) than the headline so the
-    // parallel term dominates the fixed single-box overhead (driver, GC,
-    // checkpoint residency) that otherwise swamps the ratio at scale 16.
+    // Scaling legs: same job, same input, 2 vs 8 cores (the north-rule
+    // N -> 4N pair) — ALWAYS 2->8 regardless of the headline CPUS, each in
+    // a fresh session (clean heap, equal footing), at a LARGER replication
+    // (default 64, ~6.4M turns) than the headline so the parallel term
+    // dominates the fixed single-box overhead (driver, GC, checkpoints).
     val lowCpus = 2
+    val hiCpus = 8 // pinned 2->8: the N->4N criterion pair
     val scalingScale = sys.env.getOrElse("SPARK_GRAFT_SCALING_SCALE", "64").toInt
     val scalingJson =
       if (!runScaling) "null"
       else {
-        aqe(spark, on = false)
-        val (hiSec, _, hiEdges, hiWarm) = timedBuild(spark, sfDir, scalingScale)
+        val sHi = freshSession(hiCpus, hiCpus)
+        aqe(sHi, on = false)
+        val (hiSec, _, hiEdges, hiWarm) = timedBuild(sHi, sfDir, scalingScale)
         val hiTp = hiEdges / hiSec
-        spark.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        val s2 = session(lowCpus.toString)
-        aqe(s2, on = false)
-        val (lowSec, _, lowEdges, lowWarm) = timedBuild(s2, sfDir, scalingScale)
+        val sLo = freshSession(lowCpus, lowCpus)
+        aqe(sLo, on = false)
+        val (lowSec, _, lowEdges, lowWarm) = timedBuild(sLo, sfDir, scalingScale)
         val lowTp = lowEdges / lowSec
-        val eff = (hiTp / lowTp) / (cpus.toDouble / lowCpus)
+        val ratio = hiCpus.toDouble / lowCpus
+        val eff = (hiTp / lowTp) / ratio
         // steady-state operator-DAG scaling: same counts recomputed from the
         // materialized corpus checkpoints (one-time costs excluded)
-        val effWarm = (lowWarm / hiWarm) / (cpus.toDouble / lowCpus)
-        s2.stop()
-        s"""{"scale":$scalingScale,"cpus_high":$cpus,"build_sec_high":$hiSec,""" +
+        val effWarm = (lowWarm / hiWarm) / ratio
+        sLo.stop()
+        s"""{"scale":$scalingScale,"cpus_high":$hiCpus,"build_sec_high":$hiSec,""" +
           s""""triples_per_sec_high":$hiTp,"cpus_low":$lowCpus,"build_sec_low":$lowSec,""" +
-          s""""triples_per_sec_low":$lowTp,"efficiency_${lowCpus}_to_$cpus":$eff,""" +
+          s""""triples_per_sec_low":$lowTp,"efficiency_${lowCpus}_to_$hiCpus":$eff,""" +
           s""""warm_sec_high":$hiWarm,"warm_sec_low":$lowWarm,""" +
-          s""""efficiency_warm_${lowCpus}_to_$cpus":$effWarm}"""
+          s""""efficiency_warm_${lowCpus}_to_$hiCpus":$effWarm}"""
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -168,8 +214,8 @@ object Bench {
     val runsJson = runs.map(_._1).mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""cpus":$cpus,"scale":$scale,"build_sec":$buildSec,"build_sec_min":$buildSecMin,""" +
-        s""""build_runs":$runsJson,""" +
+        s""""cpus":$cpus,"parts":$parts,"scale":$scale,"build_sec":$buildSec,""" +
+        s""""build_sec_min":$buildSecMin,"build_runs":$runsJson,""" +
         s""""heap_gb":$heapGb,"prime_sec":$primeSec,"nodes":$nNodes,"edges":$nEdges,""" +
         s""""triples_per_sec":$triplesPerSec,"warm_recount_sec":$warmSec,""" +
         s""""scaling":$scalingJson}"""

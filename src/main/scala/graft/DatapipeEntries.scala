@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.canon.Canon
 import graft.datapipe.{Ann, Backfill, DocDedup, Multimodal, TextStats}
-import graft.extract.Mentions
-import graft.sources.Transcripts
 
 /** Training-data-pipeline operator entries (dedup / similarity search /
   * multimodal plumbing / text analysis) over the driver's `documents` and
@@ -23,9 +21,12 @@ object DatapipeEntries {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+  // reads the SHARED materialized mention table (SparkEntry.mentionsOf) —
+  // the round-2 kg_canon_pairs regression (43 s) was this extraction
+  // re-running per canon entry while graph queries shared graphCache
   private def mentionNames(s: SparkSession, dir: String): DataFrame =
-    Mentions
-      .extract(Transcripts.fromEvents(s, dir))
+    SparkEntry
+      .mentionsOf(s, dir)
       .where(col("mention_type") === "Entity")
       .select("name")
       .distinct()

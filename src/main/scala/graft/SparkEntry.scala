@@ -33,8 +33,18 @@ object SparkEntry {
     )
   }
 
-  private def mentionsOf(s: SparkSession, dir: String): DataFrame =
-    Mentions.extract(Transcripts.fromEvents(s, dir))
+  // ONE materialized Catalyst mention table per (session, sfDir): ~20 query
+  // entries consume mentions, and without sharing each paid the full
+  // scan+window+extract plan per query (kg_canon_pairs 43 s / kg_find_endpoint
+  // 6.1 s in BENCH_r02 were pure re-extraction cost). localCheckpoint (eager)
+  // materializes once; every consumer plans against the leaf.
+  private val mentionCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def mentionsOf(s: SparkSession, dir: String): DataFrame =
+    mentionCache.getOrElseUpdate(
+      (s, dir),
+      Mentions.extract(Transcripts.fromEvents(s, dir)).localCheckpoint()
+    )
 
   // one graph build per (session, sfDir) within a Verify/Bench run
   private val graphCache =
@@ -51,6 +61,18 @@ object SparkEntry {
       }
     )
 
+  /** Materialize every shared cross-query cache (mention table + graph) so a
+    * bench/verify harness can snapshot the protected persistent-RDD set and
+    * safely purge per-query garbage after each entry (Bench does exactly
+    * this — the round-2 query loop accumulated caches and the resulting GC
+    * residency produced the 37–244 s build spread).
+    */
+  private[graft] def prime(s: SparkSession, dir: String): Unit = {
+    mentionsOf(s, dir)
+    graphOf(s, dir)
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = DatapipeEntries.queries ++ Map(
     // A1/A3 corpus scan + normalization: the input table itself, proving
     // per-turn text equality + stable (conv_id, turn_idx) ordering survive.
@@ -61,12 +83,11 @@ object SparkEntry {
 
     // C1/C2 resolution cascade with confidence + strategy provenance
     "kg_resolve_calls" -> { (s, dir) =>
-      val t = Transcripts.fromEvents(s, dir)
-      val m = Mentions.extract(t).cache()
+      val m = mentionsOf(s, dir)
       CallResolver.resolveCalls(
         m.where(col("mention_type") === "FunctionCall"),
         m.where(col("mention_type") === "FunctionDef"),
-        t
+        Transcripts.fromEvents(s, dir)
       )
     },
 
@@ -88,7 +109,7 @@ object SparkEntry {
 
     // E1–E3 path normalization + Request→Endpoint linking
     "kg_link_api" -> { (s, dir) =>
-      val m = mentionsOf(s, dir).cache()
+      val m = mentionsOf(s, dir)
       PathNorm.linkApi(
         m.where(col("mention_type") === "Request"),
         m.where(col("mention_type") === "Endpoint")
@@ -297,7 +318,7 @@ object SparkEntry {
     // outside every handler scope window — left_anti with a non-equi
     // conv-local range condition
     "kg_top_level_requests" -> { (s, dir) =>
-      val m = mentionsOf(s, dir).cache()
+      val m = mentionsOf(s, dir)
       val reqs = m.where(col("mention_type") === "Request").select("conv_id", "turn_idx", "name")
       val defs = m
         .where(col("mention_type") === "FunctionDef")
@@ -313,7 +334,7 @@ object SparkEntry {
     // body-contains theta-join — endpoint dimension scanned inside turn text
     "kg_link_text_endpoints" -> { (s, dir) =>
       val t = Transcripts.fromEvents(s, dir)
-      val eps = Mentions.extract(t)
+      val eps = mentionsOf(s, dir)
         .where(col("mention_type") === "Endpoint")
         .select(col("verb"), col("path"))
         .distinct()
@@ -324,7 +345,7 @@ object SparkEntry {
     // E6 link_e2e_tests analog (linker.rs:243-314): ids extracted on both
     // sides, equi-joined against the broadcast endpoint-id dimension
     "kg_link_shared_ids" -> { (s, dir) =>
-      val m = mentionsOf(s, dir).cache()
+      val m = mentionsOf(s, dir)
       def withIds(df: org.apache.spark.sql.DataFrame) = df
         .withColumn("res", regexp_extract(col("name"), "^/api/([a-z]+)", 1))
         .withColumn("shared_id", regexp_extract(col("name"), "/([0-9]+)$", 1))
@@ -341,7 +362,7 @@ object SparkEntry {
     // in turn text via broadcast contains
     "kg_link_pages" -> { (s, dir) =>
       val t = Transcripts.fromEvents(s, dir)
-      val pages = Mentions.extract(t)
+      val pages = mentionsOf(s, dir)
         .where(col("mention_type") === "Request")
         .select(regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("page"))
         .where(length(col("page")) > 0)

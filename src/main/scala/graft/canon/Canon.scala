@@ -59,6 +59,12 @@ object Canon {
     * Pairs ordered name_a < name_b; Jaccard from distinct-shingle counts.
     */
   def candidatePairs(names: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    // cached for its 3 consumers (bands, sizes, intersection join), then
+    // RELEASED before returning: the round-2 bench leaked one shingle cache
+    // per invocation across the 68-query loop, and the accumulated blocks
+    // drove the shared-heap GC residency behind the 37–244 s build spread.
+    // The returned pair set (above-threshold only) is eagerly materialized
+    // so unpersisting the input cannot trigger recomputation.
     val sh = shingles(names).cache()
     val b = bands(sh)
     val cand = b
@@ -75,7 +81,7 @@ object Canon {
       .join(shB, Seq("name_b", "shingle"))
       .groupBy("name_a", "name_b")
       .agg(count(lit(1)).as("inter"))
-    cand
+    val pairs = cand
       .join(inter, Seq("name_a", "name_b"), "left")
       .na.fill(0L, Seq("inter"))
       .join(sizes.withColumnRenamed("name", "name_a").withColumnRenamed("n", "na"), Seq("name_a"))
@@ -86,6 +92,9 @@ object Canon {
       )
       .where(col("jaccard") >= minJaccard)
       .select("name_a", "name_b", "jaccard")
+      .localCheckpoint()
+    sh.unpersist()
+    pairs
   }
 
   /** Iterative-DataFrame connected components: smallest-label propagation
@@ -115,6 +124,7 @@ object Canon {
       labels = next.select("name", "cluster")
       it += 1
     }
+    bi.unpersist()
     labels
   }
 }

@@ -64,22 +64,24 @@ object Cascade {
     // reuse while keeping everything inside ONE job: per-pass eager/lazy
     // checkpoints added ~14 driver-sequential materialization barriers,
     // which dominated the build's Amdahl fixed term at bench scale.
-    var remainder = mentions.persist()
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def track(df: DataFrame): DataFrame = { persisted += df.persist(); df }
+    var remainder = track(mentions)
     var out: Option[DataFrame] = None
     strategies.foreach { st =>
-      val resolved = st
-        .resolve(remainder)
-        .withColumn("confidence", lit(st.confidence))
-        .withColumn("strategy", lit(st.name))
-        .persist()
+      val resolved = track(
+        st.resolve(remainder)
+          .withColumn("confidence", lit(st.confidence))
+          .withColumn("strategy", lit(st.name))
+      )
       out = Some(out.fold(resolved)(_.unionByName(resolved)))
       // shrink the remainder — the reference stops at the first hit per
       // mention; left_anti on the mention key realizes that per-row.
       // the anti side is the (small) per-pass hit set: broadcast it so the
       // remainder never shuffles — the cascade stays one narrow stage chain
-      remainder = remainder
-        .join(broadcast(resolved.select(keyCols.map(col): _*)), keyCols, "left_anti")
-        .persist()
+      remainder = track(
+        remainder.join(broadcast(resolved.select(keyCols.map(col): _*)), keyCols, "left_anti")
+      )
     }
     val withFallback = fallback match {
       case Some(fb) =>
@@ -89,7 +91,12 @@ object Cascade {
         out.fold(fbRows)(_.unionByName(fbRows))
       case None => out.getOrElse(mentions.limit(0))
     }
-    withFallback
+    // materialize the final union once, then release every per-pass cache —
+    // repeated cascade invocations in one session (bench reps, scaling legs)
+    // must not accumulate cached blocks (heap-residency leak)
+    val result = withFallback.localCheckpoint()
+    persisted.foreach(_.unpersist())
+    result
   }
 
   /** Salted equi-join for hot build-side keys (north-rule skew defense;
