@@ -190,51 +190,112 @@ object Oracles {
       ON d.conv_id = r.conv_id AND d.def_idx < r.turn_idx AND r.turn_idx <= d.def_idx + 5
 )
 , nested AS (SELECT conv_id, turn_idx, req_path, fn_name FROM nested0 WHERE rn = 1)
+, docs_cte AS (
+    SELECT conv_id, turn_idx, name, docs FROM (
+      SELECT conv_id, turn_idx, role, alias || '_handler' AS name,
+        CASE WHEN lag(role, 1) OVER w = 'user' THEN lag(text, 1) OVER w
+             WHEN lag(role, 2) OVER w = 'user' THEN lag(text, 2) OVER w END AS docs
+      FROM enriched
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ) WHERE role = 'tool'
+)
+, inst_ids AS (SELECT DISTINCT name, canonical FROM crents)
+, dm_within AS (
+    SELECT DISTINCT e.alias || '_handler' AS fn_name, e.conv_id, cc.cluster
+    FROM enriched e
+    JOIN dict d ON instr(e.text, d.alias_name) > 0
+    JOIN cclust cc ON cc.canonical = d.canonical
+    WHERE e.role = 'tool'
+)
+, var_rows AS (
+    SELECT conv_id, turn_idx, CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS name
+    FROM enriched WHERE role = 'tool'
+)
+, etests AS (
+    SELECT conv_id, turn_idx, replace(path, '{id}', '$$' || '{id}') AS name, resource
+    FROM enriched WHERE role = 'assistant' AND (event_id % 5) = 0
+)
 , nodes0 AS (
     SELECT 'Corpus' AS node_type, 'corpus' AS name, '' AS conv_id, -1 AS turn_idx, '' AS body,
-           ${key4("'Corpus'", "'corpus'", "''", "-1")} AS node_key
+           ${key4("'Corpus'", "'corpus'", "''", "-1")} AS node_key,
+           CAST(NULL AS VARCHAR) AS docs, '' AS meta_kv
     UNION ALL
     SELECT 'Conversation', conv_id, conv_id, -1, '',
-           ${key4("'Conversation'", "conv_id", "conv_id", "-1")}
+           ${key4("'Conversation'", "conv_id", "conv_id", "-1")}, NULL, ''
     FROM (SELECT DISTINCT conv_id FROM transcripts)
     UNION ALL
     SELECT 'Turn', 'turn-' || CAST(turn_idx AS VARCHAR), conv_id, turn_idx, text,
-           ${key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")}
+           ${key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")},
+           NULL, 'role=' || role
     FROM transcripts
     UNION ALL
-    SELECT 'Role', role, '', -1, '', ${key4("'Role'", "role", "''", "-1")}
+    SELECT 'Role', role, '', -1, '', ${key4("'Role'", "role", "''", "-1")}, NULL, ''
     FROM (SELECT DISTINCT role FROM transcripts)
     UNION ALL
-    SELECT 'Tool', tool, '', -1, '', ${key4("'Tool'", "tool", "''", "-1")}
+    SELECT 'Tool', tool, '', -1, '', ${key4("'Tool'", "tool", "''", "-1")}, NULL, ''
     FROM (SELECT DISTINCT tool FROM transcripts WHERE tool IS NOT NULL)
     UNION ALL
-    SELECT 'Entity', canonical, '', -1, '', ${key4("'Entity'", "canonical", "''", "-1")}
+    SELECT 'Entity', canonical, '', -1, '', ${key4("'Entity'", "canonical", "''", "-1")},
+           NULL, ''
     FROM (SELECT DISTINCT canonical FROM crents)
     UNION ALL
-    SELECT 'Function', name, conv_id, turn_idx, '',
-           ${key4("'Function'", "name", "conv_id", "turn_idx")}
-    FROM fn_nodes
+    SELECT 'Function', f.name, f.conv_id, f.turn_idx, '',
+           ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")},
+           d.docs, 'date=' || substr(f.conv_id, 13, 8)
+    FROM fn_nodes f
+    LEFT JOIN docs_cte d
+      ON d.conv_id = f.conv_id AND d.turn_idx = f.turn_idx AND d.name = f.name
     UNION ALL
     SELECT 'Function', name, 'unverified', -1, '',
-           ${key4("'Function'", "name", "'unverified'", "-1")}
+           ${key4("'Function'", "name", "'unverified'", "-1")},
+           NULL, 'date=' || substr('unverified', 13, 8)
     FROM (SELECT DISTINCT name FROM rcalls WHERE strategy = 'unverified')
     UNION ALL
-    SELECT 'Endpoint', name, '', -1, '', ${key5("'Endpoint'", "name", "''", "-1", "verb")}
+    SELECT 'Endpoint', name, '', -1, '', ${key5("'Endpoint'", "name", "''", "-1", "verb")},
+           NULL, 'group=' || regexp_extract(name, '^(/[^/]+/[^/]+)', 1) || ';verb=' || verb
     FROM ep_ids
     UNION ALL
-    SELECT 'Request', replace(path, '{id}', '$$' || '{id}'), conv_id, turn_idx, '',
-           ${key4("'Request'", "replace(path, '{id}', '$$' || '{id}')", "conv_id", "turn_idx")}
-    FROM enriched WHERE role = 'assistant'
+    SELECT 'Request', r.req_path, r.conv_id, r.turn_idx, '',
+           ${key4("'Request'", "r.req_path", "r.conv_id", "r.turn_idx")},
+           NULL,
+           CASE WHEN n.fn_name IS NOT NULL
+                THEN 'nested_in=' || n.fn_name || ';verb=' || r.verb
+                ELSE 'verb=' || r.verb END
+    FROM (SELECT conv_id, turn_idx, verb, replace(path, '{id}', '$$' || '{id}') AS req_path
+          FROM enriched WHERE role = 'assistant') r
+    LEFT JOIN nested n
+      ON n.conv_id = r.conv_id AND n.turn_idx = r.turn_idx AND n.req_path = r.req_path
     UNION ALL
     SELECT 'Import', 'imports', conv_id, turn_idx, body,
-           ${key4("'Import'", "'imports'", "conv_id", "turn_idx")}
+           ${key4("'Import'", "'imports'", "conv_id", "turn_idx")}, NULL, ''
     FROM imports
     UNION ALL
-    SELECT 'Page', name, '', -1, '', ${key4("'Page'", "name", "''", "-1")}
+    SELECT 'Page', name, '', -1, '', ${key4("'Page'", "name", "''", "-1")}, NULL, ''
     FROM page_ids
     UNION ALL
-    SELECT 'EndpointGroup', name, '', -1, '', ${key4("'EndpointGroup'", "name", "''", "-1")}
+    SELECT 'EndpointGroup', name, '', -1, '', ${key4("'EndpointGroup'", "name", "''", "-1")},
+           NULL, ''
     FROM group_ids
+    UNION ALL
+    SELECT 'Instance', name, '', -1, '', ${key4("'Instance'", "name", "''", "-1")}, NULL, ''
+    FROM (SELECT DISTINCT name FROM inst_ids)
+    UNION ALL
+    SELECT 'DataModel', cluster, '', -1, '', ${key4("'DataModel'", "cluster", "''", "-1")},
+           NULL, ''
+    FROM (SELECT DISTINCT cluster FROM dm_within)
+    UNION ALL
+    SELECT 'Var', name, conv_id, turn_idx, '',
+           ${key4("'Var'", "name", "conv_id", "turn_idx")}, NULL, ''
+    FROM var_rows
+    UNION ALL
+    SELECT 'IntegrationTest', name, conv_id, turn_idx, '',
+           ${key4("'IntegrationTest'", "name", "conv_id", "turn_idx")},
+           NULL, 'kind=integration'
+    FROM calls
+    UNION ALL
+    SELECT 'E2etest', name, conv_id, turn_idx, '',
+           ${key4("'E2etest'", "name", "conv_id", "turn_idx")}, NULL, 'kind=e2e'
+    FROM etests
 )
 , nodes AS (
     SELECT *, sha256(node_key) AS ref_id, sha256(body) AS hash,
@@ -265,13 +326,39 @@ object Oracles {
            ${key4("'Entity'", "canonical", "''", "-1")}, CAST(1.0 AS DOUBLE), 'alias_dict'
     FROM crents
     UNION ALL
-    SELECT 'CALLS', ${key4("'Turn'", "'turn-' || CAST(r.turn_idx AS VARCHAR)", "r.conv_id", "r.turn_idx")},
+    SELECT CASE WHEN r.strategy = 'unverified' THEN 'USES' ELSE 'CALLS' END,
+           ${key4("'Turn'", "'turn-' || CAST(r.turn_idx AS VARCHAR)", "r.conv_id", "r.turn_idx")},
            CASE WHEN f.name IS NULL
                 THEN ${key4("'Function'", "r.name", "'unverified'", "-1")}
                 ELSE ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")} END,
            r.confidence, r.strategy
     FROM rcalls r LEFT JOIN fn_nodes f
       ON f.name = r.resolved_name AND f.conv_id = r.resolved_conv
+    UNION ALL
+    SELECT CASE WHEN r.strategy = 'unverified' THEN 'USES' ELSE 'CALLS' END,
+           ${key4("'IntegrationTest'", "r.name", "r.conv_id", "r.turn_idx")},
+           CASE WHEN f.name IS NULL
+                THEN ${key4("'Function'", "r.name", "'unverified'", "-1")}
+                ELSE ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")} END,
+           r.confidence, r.strategy
+    FROM rcalls r LEFT JOIN fn_nodes f
+      ON f.name = r.resolved_name AND f.conv_id = r.resolved_conv
+    UNION ALL
+    SELECT 'CALLS', ${key4("'E2etest'", "name", "conv_id", "turn_idx")},
+           ${key4("'Page'", "resource", "''", "-1")}, CAST(1.0 AS DOUBLE), 'e2e_page'
+    FROM etests
+    UNION ALL
+    SELECT 'OF', ${key4("'Instance'", "name", "''", "-1")},
+           ${key4("'Entity'", "canonical", "''", "-1")}, CAST(1.0 AS DOUBLE), 'instance_of'
+    FROM inst_ids
+    UNION ALL
+    SELECT 'CONTAINS', ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")},
+           ${key4("'DataModel'", "w.cluster", "''", "-1")}, CAST(1.0 AS DOUBLE), 'data_model'
+    FROM dm_within w JOIN fn_nodes f ON f.name = w.fn_name AND f.conv_id = w.conv_id
+    UNION ALL
+    SELECT 'CONTAINS', ${key4("'Turn'", "'turn-' || CAST(turn_idx AS VARCHAR)", "conv_id", "turn_idx")},
+           ${key4("'Var'", "name", "conv_id", "turn_idx")}, CAST(1.0 AS DOUBLE), 'var_decl'
+    FROM var_rows
     UNION ALL
     SELECT DISTINCT 'HANDLER', ${key5("'Endpoint'", normPath, "''", "-1", "verb")},
            ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")},
@@ -410,6 +497,6 @@ WHERE t.node_key = $targetKeyExpr"""
 , pcount AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pn)
 , pr0 AS MATERIALIZED (SELECT node_key, CAST(1.0 AS DOUBLE) AS rank FROM pn)
 $iters
-SELECT node_key, round(rank, 6) AS rank FROM pr20"""
+SELECT node_key, round(rank, 5) AS rank FROM pr20"""
   }
 }

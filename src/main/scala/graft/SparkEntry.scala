@@ -61,15 +61,54 @@ object SparkEntry {
       }
     )
 
+  /** Canonical string rendering of the node meta bag for oracle compares:
+    * entries sorted, "k=v" joined with ';' (keys never prefix one another,
+    * so string sort == key sort).
+    */
+  private def withMetaKv(nodes: DataFrame): DataFrame =
+    nodes
+      .withColumn(
+        "meta_kv",
+        array_join(
+          array_sort(transform(
+            map_entries(col("meta")),
+            e => concat(e.getField("key"), lit("="), e.getField("value"))
+          )),
+          ";"
+        )
+      )
+      .drop("meta")
+
   /** Materialize every shared cross-query cache (mention table + graph) so a
     * bench/verify harness can snapshot the protected persistent-RDD set and
     * safely purge per-query garbage after each entry (Bench does exactly
     * this — the round-2 query loop accumulated caches and the resulting GC
     * residency produced the 37–244 s build spread).
     */
+  // the prior run's committed incremental state (fingerprint dimension +
+  // mention table), materialized once per (session, sfDir) — the stand-in
+  // for Incremental's snapshot store so kg_incremental measures the
+  // incremental path (new-side diff + delta extraction + relink), not the
+  // prior run's work
+  private val incStateCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def incStateOf(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    incStateCache.getOrElseUpdate(
+      (s, dir), {
+        val oldT = Transcripts
+          .fromEvents(s, dir)
+          .where(col("ts") < lit("2024-01-08").cast("timestamp"))
+        (
+          pipeline.Incremental.fingerprints(oldT).localCheckpoint(),
+          Mentions.extract(oldT).localCheckpoint()
+        )
+      }
+    )
+
   private[graft] def prime(s: SparkSession, dir: String): Unit = {
     mentionsOf(s, dir)
     graphOf(s, dir)
+    incStateOf(s, dir)
     ()
   }
 
@@ -116,8 +155,10 @@ object SparkEntry {
       )
     },
 
-    // D1/D2/D9–D12 + A6 MERGE: the materialized node table
-    "kg_nodes" -> ((s, dir) => graphOf(s, dir).nodes),
+    // D1/D2/D9–D12 + A6 MERGE: the materialized node table. The meta map is
+    // checked as a canonical sorted "k=v;…" rendering (engine-portable; the
+    // map column itself is unsortable by the driver's pandas comparer).
+    "kg_nodes" -> ((s, dir) => withMetaKv(graphOf(s, dir).nodes)),
     // D13 add_calls + spine/linker edges: the (subj, pred, obj) edge table
     "kg_edges" -> ((s, dir) => graphOf(s, dir).edges),
     // D23 get_graph_size
@@ -194,7 +235,7 @@ object SparkEntry {
         .where(col("edge_type").isin("CALLS", "HANDLER"))
         .join(projKeys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
         .join(projKeys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
-      Query.pagerank(proj, projEdges).withColumn("rank", round(col("rank"), 6))
+      Query.pagerank(proj, projEdges).withColumn("rank", round(col("rank"), 5))
     },
     // G9 shortest_path: BFS distance Entity postgres -> Entity kafka
     "kg_shortest_path" -> { (s, dir) =>
@@ -209,18 +250,32 @@ object SparkEntry {
         .getString(0)
       Query.shortestDist(g.edges, start, target, 4)
     },
-    // G5 hybrid RRF fusion: text-search ranking ⊕ mention-frequency ranking
-    // (the usage list plays the vector-hits role, boost 1.5 — graph.ts:184)
+    // G5 hybrid RRF fusion, text ⊕ VECTOR (graph.ts:152-235: vector hits
+    // boost ×1.5): the vector source is the ANN cosine hit list over the
+    // embeddings table, mapped onto Entity nodes via the deterministic
+    // label->entity assignment (label mod |entities|, entities ranked by
+    // name — the sandbox stand-in for node-attached embeddings), scored by
+    // the best cosine per node
     "kg_hybrid_search" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val g = graphOf(s, dir)
       val text = Query.search(g.nodes, "postgres", 10).select("node_key", "score")
-      val usage = g.edges
-        .where(col("edge_type") === "MENTIONS")
-        .groupBy(col("dst_key").as("node_key"))
-        .agg(count(lit(1)).cast("double").as("score"))
+      val hits = datapipe.Ann
+        .vectorSearch(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 0.2, 20)
+      // tiny dimension (distinct canonical entities): unpartitioned window ok
+      val ranked = g.nodes
+        .where(col("node_type") === "Entity")
+        .select(col("node_key"), col("name"))
+        .withColumn("r", row_number().over(Window.orderBy("name")) - 1)
+      val vec = hits
+        .crossJoin(ranked.agg(count(lit(1)).as("n_ent")))
+        .withColumn("r", pmod(col("label"), col("n_ent")).cast("int"))
+        .join(ranked, Seq("r"))
+        .groupBy("node_key")
+        .agg(max(col("cos")).as("score"))
         .orderBy(col("score").desc, col("node_key"))
         .limit(10)
-      Query.rrfFuse(Seq((text, 1.0), (usage, 1.5)), 5, 10)
+      Query.rrfFuse(Seq((text, 1.0), (vec, 1.5)), 5, 10)
         .withColumn("fused_score", round(col("fused_score"), 6))
     },
     // G8 get_code: per-conversation body concat + token totals
@@ -464,15 +519,22 @@ object SparkEntry {
     // H3 maintenance backfill (set_default_namespace analog)
     "kg_maintenance" -> ((s, dir) =>
       graphOf(s, dir).nodes.select(col("node_key"), lit("default").as("namespace"))),
-    // H1 partition-level incremental rebuild: re-extract only changed
-    // conversations, reuse the previous mention table for the rest; the
-    // node table must equal the full rebuild's (same oracle as kg_nodes)
+    // H1 partition-level incremental rebuild: change detection against the
+    // prior run's COMMITTED fingerprints, old mentions from the COMMITTED
+    // mention table (never re-extracted — the old corpus is not an input),
+    // re-extract only changed conversations; the node table must equal the
+    // full rebuild's (same oracle as kg_nodes)
     "kg_incremental" -> { (s, dir) =>
       val newT = Transcripts.fromEvents(s, dir)
-      val cutoff = lit("2024-01-08").cast("timestamp")
-      val oldT = newT.where(col("ts") < cutoff)
-      val oldMentions = Mentions.extract(oldT) // the prior run's committed mention table
-      pipeline.Incremental.build(s, oldT, oldMentions, newT).nodes
+      val (committedFps, committedMentions) = incStateOf(s, dir)
+      withMetaKv(pipeline.Incremental.build(s, committedFps, committedMentions, newT).nodes)
+    },
+    // D4 find_node_by_name_file_and_meta analog (graph.rs:199-204): lookup
+    // filtered on a meta key/value — possible now that nodes carry the bag
+    "kg_find_by_meta" -> { (s, dir) =>
+      graphOf(s, dir).nodes
+        .where(col("node_type") === "Endpoint" && element_at(col("meta"), "verb") === "GET")
+        .select(col("node_key"), col("name"), element_at(col("meta"), "group").as("grp"))
     },
     // E7 package nodes: tool-name prefix dimension
     "kg_packages" -> { (s, dir) =>
@@ -562,12 +624,19 @@ object SparkEntry {
       FROM reqs r JOIN eps e ON e.norm_path = r.norm_path AND e.verb = r.verb
     """),
     "kg_nodes" -> Oracles.withGraph(
-      "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped FROM nodes"
+      "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped, " +
+        "docs, meta_kv FROM nodes"
     ),
     // the incremental twin must reproduce the full rebuild bit-for-bit
     "kg_incremental" -> Oracles.withGraph(
-      "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped FROM nodes"
+      "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped, " +
+        "docs, meta_kv FROM nodes"
     ),
+    "kg_find_by_meta" -> Oracles.withGraph(s"""
+      SELECT ${Oracles.key5("'Endpoint'", "name", "''", "-1", "verb")} AS node_key, name,
+             regexp_extract(name, '^(/[^/]+/[^/]+)', 1) AS grp
+      FROM ep_ids WHERE verb = 'GET'
+    """),
     "kg_edges" -> Oracles.withGraph(
       "SELECT edge_type, src_key, dst_key, confidence, strategy FROM edges"
     ),
@@ -669,10 +738,27 @@ object SparkEntry {
         ) WHERE score > 0
         ORDER BY score DESC, node_key LIMIT 10
       )
-      , usage0 AS (
+      , vhits AS (
+        SELECT vec_id AS cand_id, label, cos FROM (
+          SELECT e.vec_id, e.label,
+            list_sum(list_transform(list_zip(q.qv, e.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+          FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE e.vec_id <> 0
+        ) WHERE cos >= 0.2 ORDER BY cos DESC, cand_id LIMIT 20
+      )
+      , erank AS (
+        SELECT node_key, name, CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS r
+        FROM nodes WHERE node_type = 'Entity'
+      )
+      , vsrc AS (
         SELECT node_key, score FROM (
-          SELECT dst_key AS node_key, CAST(count(*) AS DOUBLE) AS score
-          FROM edges WHERE edge_type = 'MENTIONS' GROUP BY 1
+          SELECT e.node_key, max(h.cos) AS score
+          FROM vhits h
+          CROSS JOIN (SELECT count(*) AS n_ent FROM erank) c
+          JOIN erank e ON e.r = (h.label % c.n_ent)
+          GROUP BY e.node_key
         ) ORDER BY score DESC, node_key LIMIT 10
       )
       , srcs AS (
@@ -682,7 +768,7 @@ object SparkEntry {
         UNION ALL
         SELECT node_key, 1.5 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
                * (0.5 + 0.5*score/max(score) OVER ()) AS rrf
-        FROM usage0
+        FROM vsrc
       )
       SELECT node_key, round(sum(rrf), 6) AS fused_score
       FROM srcs GROUP BY node_key
@@ -755,14 +841,20 @@ object SparkEntry {
       FROM s GROUP BY 1, 2
     """,
     "kg_coverage" -> Oracles.withGraph("""
-      SELECT total_functions, called_functions,
-             CAST(called_functions AS DOUBLE) / CAST(total_functions AS DOUBLE) AS coverage
+      SELECT total_functions, called_functions, test_covered_functions,
+             CAST(called_functions AS DOUBLE) / CAST(total_functions AS DOUBLE) AS coverage,
+             CAST(test_covered_functions AS DOUBLE) / CAST(total_functions AS DOUBLE) AS test_coverage
       FROM (
         SELECT
           (SELECT count(*) FROM nodes WHERE node_type = 'Function') AS total_functions,
           (SELECT count(*) FROM nodes n WHERE n.node_type = 'Function'
              AND EXISTS (SELECT 1 FROM edges e
-                         WHERE e.edge_type = 'CALLS' AND e.dst_key = n.node_key)) AS called_functions
+                         WHERE e.edge_type = 'CALLS' AND e.dst_key = n.node_key)) AS called_functions,
+          (SELECT count(*) FROM nodes n WHERE n.node_type = 'Function'
+             AND EXISTS (SELECT 1 FROM edges e JOIN nodes s ON s.node_key = e.src_key
+                         WHERE e.edge_type = 'CALLS'
+                           AND s.node_type IN ('UnitTest','IntegrationTest','E2etest')
+                           AND e.dst_key = n.node_key)) AS test_covered_functions
       )
     """),
     "kg_top_level_requests" -> O("""

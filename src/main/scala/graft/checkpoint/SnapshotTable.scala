@@ -5,21 +5,75 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Manifest publication strategy — the one filesystem primitive the snapshot
+  * protocol needs: make manifest `name` visible in `dir` atomically, exactly
+  * once. Everything else in [[SnapshotTable]] is plain immutable-file I/O
+  * that any object store supports.
+  *
+  *  - Local/HDFS: stage to a temp file, ATOMIC_MOVE rename
+  *    ([[AtomicRenameCommitter]]).
+  *  - Object stores (S3 et al.) have NO atomic rename — renames are
+  *    copy+delete and not atomic. The correct primitive there is
+  *    conditional PUT: `PutObject` with `If-None-Match: *` on the FINAL
+  *    manifest key; exactly one concurrent writer receives 200, the rest
+  *    get 412 and retry with snapshot N+1. [[PutIfAbsentCommitter]]
+  *    implements those semantics over the local FS (CREATE_NEW is the same
+  *    fail-if-exists contract), so the protocol is exercised end-to-end in
+  *    tests and swapping in a real S3 client changes only this object.
+  */
+trait ManifestCommitter {
+
+  /** Publish `bytes` as `dir/name`; false iff another writer won the key. */
+  def publish(dir: Path, name: String, bytes: Array[Byte]): Boolean
+}
+
+object AtomicRenameCommitter extends ManifestCommitter {
+  def publish(dir: Path, name: String, bytes: Array[Byte]): Boolean = {
+    val tmp = dir.resolve(s"$name.tmp")
+    Files.write(tmp, bytes)
+    try {
+      Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp); false
+    }
+  }
+}
+
+object PutIfAbsentCommitter extends ManifestCommitter {
+  def publish(dir: Path, name: String, bytes: Array[Byte]): Boolean =
+    try {
+      // CREATE_NEW == conditional PUT (If-None-Match: *): atomic fail-if-exists
+      Files.write(dir.resolve(name), bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+}
+
 /** Iceberg-shaped table layer: partitioned parquet + an atomic snapshot
   * manifest protocol. No Iceberg runtime ships in /opt/spark/jars
   * (SURVEY.md §7.5 item 1), so the semantics the north rule needs — atomic
   * commit, snapshot pinning, resume — live in this small commit protocol:
   *
   *   table/
-  *     data/<stage>-<uuidless deterministic name>/...parquet   (immutable)
-  *     _snapshot-N.json    (committed file-list; writers commit by atomic
-  *                          rename of a temp manifest — readers pin latest)
+  *     data/<stage>-<n>[.<format>]/...        (immutable data files)
+  *     _snapshot-N.json    (committed file-list; writers commit through a
+  *                          [[ManifestCommitter]] — readers pin latest)
   *
   * Matches the reference's per-stage delta flush + MERGE upload semantics
   * (ast/src/builder/streaming.rs:95-130; neo4j MERGE nodes.rs:48-56):
-  * a stage's output becomes visible only when its manifest rename lands.
+  * a stage's output becomes visible only when its manifest lands.
+  *
+  * Data format is per-data-dir, encoded in the dir name suffix (default
+  * parquet; `.json` = JSONL for the A5 export sink, utils.rs:17-51).
   */
 object SnapshotTable {
+
+  /** Process-wide committer; tests swap in [[PutIfAbsentCommitter]] to prove
+    * the object-store variant end-to-end.
+    */
+  @volatile var committer: ManifestCommitter = AtomicRenameCommitter
 
   private def snapDir(table: String): Path = Paths.get(table)
 
@@ -41,28 +95,30 @@ object SnapshotTable {
   }
 
   /** Commit `df` as a new named data dir + snapshot N+1. The data write is
-    * to a location invisible to readers; the snapshot JSON is staged to a
-    * temp file and atomically renamed — a killed writer leaves no partial
-    * snapshot (resume idempotence suite asserts this).
+    * to a location invisible to readers; the snapshot manifest is published
+    * atomically through the [[committer]] — a killed writer leaves no
+    * partial snapshot, and a lost publication race retries with N+1
+    * (resume idempotence suite asserts this).
     */
-  def commit(df: DataFrame, table: String, stage: String): Int = {
+  def commit(df: DataFrame, table: String, stage: String, format: String = "parquet"): Int = {
     val next = latestSnapshotId(table).getOrElse(0) + 1
-    val dataPath = s"$table/data/$stage-$next"
-    df.write.mode("overwrite").parquet(dataPath)
-    val prior = latestSnapshotId(table) // re-read: another writer may have won
-    val id = math.max(next, prior.getOrElse(0) + 1)
-    val priorFiles = prior
-      .map(p => readManifest(table, p))
-      .getOrElse(Seq.empty)
-    val manifest =
-      (priorFiles :+ s"data/$stage-$next") // append-style snapshot lineage
-        .distinct
-    val json = manifest.map(f => "\"" + f + "\"").mkString("[", ",", "]")
-    val tmp = snapDir(table).resolve(s"_snapshot-$id.json.tmp")
+    val suffix = if (format == "parquet") "" else s".$format"
+    val dataDir = s"data/$stage-$next$suffix"
+    df.write.mode("overwrite").format(format).save(s"$table/$dataDir")
     Files.createDirectories(snapDir(table))
-    Files.write(tmp, s"""{"snapshot":$id,"files":$json}""".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, snapDir(table).resolve(s"_snapshot-$id.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    var id = math.max(next, latestSnapshotId(table).getOrElse(0) + 1)
+    var done = false
+    while (!done) {
+      val priorFiles = latestSnapshotId(table)
+        .map(p => readManifest(table, p))
+        .getOrElse(Seq.empty)
+      val manifest = (priorFiles :+ dataDir).distinct // append-style lineage
+      val json = manifest.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+      val bytes =
+        s"""{"snapshot":$id,"files":$json}""".getBytes(StandardCharsets.UTF_8)
+      if (committer.publish(snapDir(table), s"_snapshot-$id.json", bytes)) done = true
+      else id += 1 // another writer won this snapshot id: rebase and retry
+    }
     id
   }
 
@@ -74,11 +130,23 @@ object SnapshotTable {
     "\"(data/[^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
   }
 
-  /** Read the latest committed snapshot (union of its data dirs). */
+  private def formatOf(dataDir: String): String = {
+    val name = dataDir.stripPrefix("data/")
+    val dot = name.lastIndexOf('.')
+    if (dot < 0) "parquet" else name.substring(dot + 1)
+  }
+
+  /** Read the latest committed snapshot (union of its data dirs, grouped by
+    * their formats).
+    */
   def read(spark: SparkSession, table: String): Option[DataFrame] =
     latestSnapshotId(table).map { id =>
-      val dirs = readManifest(table, id).map(d => s"$table/$d")
-      spark.read.parquet(dirs: _*)
+      readManifest(table, id)
+        .groupBy(formatOf)
+        .map { case (fmt, dirs) =>
+          spark.read.format(fmt).load(dirs.map(d => s"$table/$d"): _*)
+        }
+        .reduce(_ unionByName _)
     }
 
   /** Has `stage` already committed into this table? (resume check) */

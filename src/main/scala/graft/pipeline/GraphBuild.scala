@@ -63,13 +63,19 @@ object GraphBuild {
 
   private val nullConf: Column = lit(1.0)
 
+  /** Empty map<string,string> literal for branches without meta. */
+  private val emptyMeta: Column = typedLit(Map.empty[String, String])
+  private val nullDocs: Column = lit(null).cast("string")
+
   private def node(
       nodeType: Column,
       name: Column,
       convId: Column,
       turnIdx: Column,
       body: Column,
-      verb: Column
+      verb: Column,
+      docs: Column,
+      meta: Column
   ): Seq[Column] = {
     val key = when(verb.isNull, Keys.nodeKey(nodeType, name, convId, turnIdx))
       .otherwise(Keys.nodeKeyWithVerb(nodeType, name, convId, turnIdx, verb))
@@ -83,13 +89,19 @@ object GraphBuild {
       Keys.refId(key).as("ref_id"),
       // A4 per-document content hash + oversize marker (builder/core.rs:298-364)
       sha2(body, 256).as("hash"),
-      (length(body) > MaxTurnChars).as("skipped")
+      (length(body) > MaxTurnChars).as("skipped"),
+      // NodeData.docs + meta bag (asg.rs:66-82,144-228): docs carry attached
+      // comments (B13); meta carries the typed key/value facts the build
+      // computes (verb, group, role, nested_in, date, kind)
+      docs.as("docs"),
+      meta.as("meta")
     )
   }
 
   private def mkNodes(df: DataFrame, nodeType: String, name: Column, convId: Column,
-      turnIdx: Column, body: Column = lit(""), verb: Column = lit(null).cast("string")): DataFrame =
-    df.select(node(lit(nodeType), name, convId, turnIdx, body, verb): _*)
+      turnIdx: Column, body: Column = lit(""), verb: Column = lit(null).cast("string"),
+      docs: Column = nullDocs, meta: Column = emptyMeta): DataFrame =
+    df.select(node(lit(nodeType), name, convId, turnIdx, body, verb, docs, meta): _*)
 
   /** Containment spine: Corpus / Conversation / Turn / Role (stages 1–3). */
   def spineNodes(spark: SparkSession, transcripts: DataFrame): DataFrame = {
@@ -97,7 +109,7 @@ object GraphBuild {
       .limit(1)
       .select(lit("corpus").as("n"))
     val convs = transcripts.select(col("conv_id")).distinct()
-    val turns = transcripts.select(col("conv_id"), col("turn_idx"), col("text"))
+    val turns = transcripts.select(col("conv_id"), col("turn_idx"), col("text"), col("role"))
     val roles = transcripts.select(col("role")).distinct()
 
     mkNodes(corpus, NodeTypes.Corpus, col("n"), lit(""), lit(-1))
@@ -109,7 +121,8 @@ object GraphBuild {
           concat(lit("turn-"), col("turn_idx").cast("string")),
           col("conv_id"),
           col("turn_idx"),
-          body = col("text") // per-turn text equality invariant lives here
+          body = col("text"), // per-turn text equality invariant lives here
+          meta = map(lit("role"), col("role"))
         )
       )
       .unionByName(mkNodes(roles, NodeTypes.Role, col("role"), lit(""), lit(-1)))
@@ -194,6 +207,23 @@ object GraphBuild {
     val resolvedCalls = CallResolver.resolveCalls(fnCalls, fnDefs, t).cache()
     val apiLinks = PathNorm.linkApi(requests, endpoints)
 
+    // B9 nested scopes via a genuine non-equi RANGE join
+    // (lang/mod.rs:667-706): a request is NESTED_IN the nearest preceding
+    // handler-definition scope within a 5-turn window of its conversation.
+    // The join is conv_id-equi + range filter, so it stays conv-local.
+    // Computed up front: feeds both the Request meta bag (nested_in key,
+    // graph.rs:199-204 meta lookups) and the NESTED_IN edge branch.
+    val nested0 = requests
+      .select(col("conv_id"), col("turn_idx"), col("name").as("req_name"))
+      .join(
+        fnDefs.select(col("conv_id"), col("turn_idx").as("def_idx"), col("name").as("fn_name")),
+        Seq("conv_id"))
+      .where(col("def_idx") < col("turn_idx") && col("turn_idx") <= col("def_idx") + lit(5))
+      .groupBy("conv_id", "turn_idx", "req_name")
+      .agg(max(struct(col("def_idx"), col("fn_name"))).as("m"))
+      .select(col("conv_id"), col("turn_idx"), col("req_name"), col("m.fn_name").as("fn_name"))
+      .localCheckpoint(eager = false) // 2 consumers: Request meta + NESTED_IN edges
+
     // --- nodes ---------------------------------------------------------
     val spine = spineNodes(spark, t)
 
@@ -204,27 +234,90 @@ object GraphBuild {
       resolvedEntities.select(col("canonical")).distinct(),
       NodeTypes.Entity, col("canonical"), lit(""), lit(-1))
 
+    // B5/B6/D10 typed entity surface: an Instance node per observed alias
+    // surface form, kept distinct from the canonical Entity (class analog) —
+    // the OF edge below records instance-of (btreemap_graph.rs:238-255)
+    val instanceIds = resolvedEntities
+      .select(col("name"), col("canonical"))
+      .distinct()
+      .localCheckpoint(eager = false) // nodes + OF edge branch
+    val instanceNodes = mkNodes(instanceIds.select(col("name")).distinct(),
+      NodeTypes.Instance, col("name"), lit(""), lit(-1))
+
+    // Function date partition key: the nested_var cascade strategy resolves
+    // within this (conv-id date segment); surfacing it as meta makes the
+    // find_node_by_name_file_and_meta lookup real (graph.rs:199-204)
+    def fnMeta(convId: Column) = map(lit("date"), substring(convId, 13, 8))
+
+    // B13 docs attach: a handler definition's docs = nearest preceding user
+    // turn (≤2 back); joined onto the Function node's first-definition turn
+    // so the node carries its documentation (asg.rs:66-82 NodeData.docs)
+    val fnDocs = Mentions.docsAttach(t)
+
     // function node = first definition turn per (name, conversation)
     val fnNodes0 = fnDefs
       .groupBy(col("name"), col("conv_id"))
       .agg(min(col("turn_idx")).as("turn_idx"))
       // consumed by ~6 node/edge branches — one shared computation
       .localCheckpoint(eager = false)
-    val fnNodes = mkNodes(fnNodes0, NodeTypes.Function, col("name"), col("conv_id"), col("turn_idx"))
+    val fnNodes = mkNodes(
+      fnNodes0.join(fnDocs, Seq("conv_id", "turn_idx", "name"), "left"),
+      NodeTypes.Function, col("name"), col("conv_id"), col("turn_idx"),
+      docs = col("docs"), meta = fnMeta(col("conv_id")))
 
     // unverified call targets become stub nodes (D13: file "<unverified>")
     val stubNodes = mkNodes(
       resolvedCalls.where(col("strategy") === "unverified").select(col("name")).distinct(),
-      NodeTypes.Function, col("name"), lit("unverified"), lit(-1))
+      NodeTypes.Function, col("name"), lit("unverified"), lit(-1),
+      meta = fnMeta(lit("unverified")))
 
     // endpoint identity = (canonical path, verb) after D11 dedup + D14 grouping
     val epIds = endpoints
       .select(PathNorm.canonical(PathNorm.normalizeBackend(col("path"))).as("name"), col("verb"))
       .distinct()
       .localCheckpoint(eager = false) // 4 consumers (nodes, groups, 2 edge branches)
-    val epNodes = mkNodes(epIds, NodeTypes.Endpoint, col("name"), lit(""), lit(-1), verb = col("verb"))
+    val epNodes = mkNodes(epIds, NodeTypes.Endpoint, col("name"), lit(""), lit(-1),
+      verb = col("verb"),
+      meta = map(lit("verb"), col("verb"),
+        lit("group"), regexp_extract(col("name"), "^(/[^/]+/[^/]+)", 1)))
 
-    val reqNodes = mkNodes(requests, NodeTypes.Request, col("name"), col("conv_id"), col("turn_idx"))
+    // Request meta: verb always; nested_in when a handler scope encloses it
+    // (map_filter drops the null) — the reference stores both in NodeData
+    // meta (asg.rs:144-228)
+    val reqNodes = mkNodes(
+      requests.join(
+        nested0.withColumnRenamed("req_name", "name").withColumnRenamed("fn_name", "nested_fn"),
+        Seq("conv_id", "turn_idx", "name"), "left"),
+      NodeTypes.Request, col("name"), col("conv_id"), col("turn_idx"),
+      meta = map_filter(
+        map(lit("verb"), col("verb"), lit("nested_in"), col("nested_fn")),
+        (_, v) => v.isNotNull))
+
+    // B5 get_vars analog: the returned-value binding of each tool turn as a
+    // Var node contained by its turn (reference collects per-file variable
+    // declarations, lang/mod.rs:604-729)
+    val varRows = t
+      .withColumn("retval", regexp_extract(col("text"), "returned ([0-9]+)", 1))
+      .where(length(col("retval")) > 0)
+      .select(col("conv_id"), col("turn_idx"), col("retval"))
+      .localCheckpoint(eager = false) // nodes + CONTAINS edge branch
+    val varNodes = mkNodes(varRows, NodeTypes.Var, col("retval"), col("conv_id"), col("turn_idx"))
+
+    // B14/D12 test nodes as graph citizens (asg.rs:248-274; linker.rs:34-235):
+    // an IntegrationTest per rerun-call turn (its CALLS edge resolves through
+    // the cascade like any call), an E2eTest per template-path request
+    val integTestNodes = mkNodes(
+      resolvedCalls.select(col("name"), col("conv_id"), col("turn_idx")),
+      NodeTypes.IntegrationTest, col("name"), col("conv_id"), col("turn_idx"),
+      meta = map(lit("kind"), lit("integration")))
+    val e2eRows = requests
+      .where(col("name").contains("${id}"))
+      .select(col("conv_id"), col("turn_idx"), col("name"),
+        regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("res"))
+      .localCheckpoint(eager = false) // nodes + CALLS-page edge branch
+    val e2eTestNodes = mkNodes(e2eRows, NodeTypes.E2eTest,
+      col("name"), col("conv_id"), col("turn_idx"),
+      meta = map(lit("kind"), lit("e2e")))
 
     // B12 pages (get_pages, lang/mod.rs:408-554): the resource surface a
     // user-facing request renders, extracted from the request path
@@ -242,6 +335,29 @@ object GraphBuild {
       .where(length(col("name")) > 0)
       .distinct()
     val groupNodes = mkNodes(groupIds, NodeTypes.EndpointGroup, col("name"), lit(""), lit(-1))
+
+    // D16 data models as graph citizens (btreemap_graph.rs:643-662 + the
+    // Function-CONTAINS-DataModel edges of add_functions): a DataModel per
+    // canonical entity contract that appears INSIDE a function's defining
+    // turn body — broadcast dictionary substring theta-join over tool turns
+    // (the reference scans bodies, not the mention table), then cluster
+    // identity via the canonicalization stage
+    val dictDf = {
+      import spark.implicits._
+      graft.extract.Dictionary.aliasToCanonical.toSeq.toDF("alias", "canonical")
+    }
+    val dmWithin = t
+      .where(col("role") === "tool")
+      .select(col("conv_id"), col("text"),
+        regexp_extract(col("text"), graft.extract.Dictionary.handlerPattern, 1).as("fn_name"))
+      .where(length(col("fn_name")) > 0)
+      .join(broadcast(dictDf), instr(col("text"), col("alias")) > 0)
+      .join(broadcast(clusters), Seq("canonical"))
+      .select(col("fn_name"), col("conv_id"), col("cluster"))
+      .distinct()
+      .localCheckpoint(eager = false) // nodes + CONTAINS edge branch
+    val dmNodes = mkNodes(dmWithin.select(col("cluster")).distinct(),
+      NodeTypes.DataModel, col("cluster"), lit(""), lit(-1))
 
     // import section: one node per conversation, tools concatenated in turn
     // order (B4 combine_import_sections, builder/utils.rs:158-218)
@@ -273,14 +389,24 @@ object GraphBuild {
     // round; the write path (SnapshotTable overwrite) supplies MERGE-on-
     // rewrite semantics for incremental runs.
     val nodes = Seq(spine, toolNodes, entityNodes, fnNodes, stubNodes, epNodes, reqNodes,
-      importNodes, pageNodes, groupNodes)
+      importNodes, pageNodes, groupNodes, instanceNodes, dmNodes, varNodes,
+      integTestNodes, e2eTestNodes)
       .reduce(_ unionByName _)
 
     // --- edges ---------------------------------------------------------
+    def edgeC(et: Column, src: Column, dst: Column, conf: Column = nullConf,
+        strat: Column = lit("spine")): Seq[Column] =
+      Seq(et.as("edge_type"), src.as("src_key"), dst.as("dst_key"),
+        conf.cast("double").as("confidence"), strat.as("strategy"))
     def edge(et: String, src: Column, dst: Column, conf: Column = nullConf,
         strat: Column = lit("spine")): Seq[Column] =
-      Seq(lit(et).as("edge_type"), src.as("src_key"), dst.as("dst_key"),
-        conf.cast("double").as("confidence"), strat.as("strategy"))
+      edgeC(lit(et), src, dst, conf, strat)
+
+    // D13 USES-for-external split (btreemap_graph.rs:429-450): a verified
+    // call target gets CALLS; an unverified stub target gets USES (the
+    // reference's Edge::uses for external/unresolved referents)
+    def callEdgeType: Column =
+      when(col("strategy") === "unverified", lit(EdgeTypes.Uses)).otherwise(lit(EdgeTypes.Calls))
 
     val corpusKey = Keys.nodeKey(lit(NodeTypes.Corpus), lit("corpus"), lit(""), lit(-1))
     def convKey(c: Column) = Keys.nodeKey(lit(NodeTypes.Conversation), c, c, lit(-1))
@@ -295,6 +421,12 @@ object GraphBuild {
     def reqKey(n: Column, c: Column, i: Column) = Keys.nodeKey(lit(NodeTypes.Request), n, c, i)
     def pageKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Page), n, lit(""), lit(-1))
     def groupKey(n: Column) = Keys.nodeKey(lit(NodeTypes.EndpointGroup), n, lit(""), lit(-1))
+    def instKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Instance), n, lit(""), lit(-1))
+    def dmKey(n: Column) = Keys.nodeKey(lit(NodeTypes.DataModel), n, lit(""), lit(-1))
+    def varKey(n: Column, c: Column, i: Column) = Keys.nodeKey(lit(NodeTypes.Var), n, c, i)
+    def itestKey(n: Column, c: Column, i: Column) =
+      Keys.nodeKey(lit(NodeTypes.IntegrationTest), n, c, i)
+    def e2eKey(n: Column, c: Column, i: Column) = Keys.nodeKey(lit(NodeTypes.E2eTest), n, c, i)
 
     val containsConv = t.select(col("conv_id")).distinct()
       .select(edge(EdgeTypes.Contains, corpusKey, convKey(col("conv_id"))): _*)
@@ -323,17 +455,63 @@ object GraphBuild {
     // sibling handler of the same canonical entity.
     val fnFirstDef = fnNodes0.select(col("name"), col("conv_id").as("resolved_conv"),
       col("turn_idx").as("def_turn"))
-    val callsFn = resolvedCalls
+    // 2 consumers (turn-src + test-src edges): share the resolved-target join
+    val resolvedTargets = resolvedCalls
       .join(
         fnFirstDef.withColumnRenamed("name", "resolved_name"),
         Seq("resolved_name", "resolved_conv"),
         "left")
-      .select(edge(
-        EdgeTypes.Calls,
-        turnKey(col("conv_id"), col("turn_idx")),
+      .withColumn(
+        "target_key",
         when(col("def_turn").isNull, fnKey(col("name"), lit("unverified"), lit(-1)))
-          .otherwise(fnKey(col("resolved_name"), col("resolved_conv"), col("def_turn"))),
+          .otherwise(fnKey(col("resolved_name"), col("resolved_conv"), col("def_turn"))))
+      .localCheckpoint(eager = false)
+    val callsFn = resolvedTargets
+      .select(edgeC(
+        callEdgeType,
+        turnKey(col("conv_id"), col("turn_idx")),
+        col("target_key"),
         col("confidence"), col("strategy")): _*)
+
+    // B14/D12 test-CALLS edges: the IntegrationTest node of each rerun turn
+    // calls its cascade-resolved target (linker.rs:34-211); same D13 split
+    val testCallsE = resolvedTargets
+      .select(edgeC(
+        callEdgeType,
+        itestKey(col("name"), col("conv_id"), col("turn_idx")),
+        col("target_key"),
+        col("confidence"), col("strategy")): _*)
+
+    // E5 analog: an E2eTest exercises the Page surface its template path
+    // names (linker.rs:213-235)
+    val e2eCallsE = e2eRows
+      .select(edge(EdgeTypes.Calls,
+        e2eKey(col("name"), col("conv_id"), col("turn_idx")),
+        pageKey(col("res")), strat = lit("e2e_page")): _*)
+
+    // D10 instance-of: observed alias -OF-> canonical Entity cluster
+    // (Edge::of, btreemap_graph.rs:250)
+    val ofInstanceE = instanceIds
+      .select(edge(EdgeTypes.Of, instKey(col("name")), entityKey(col("canonical")),
+        strat = lit("instance_of")): _*)
+
+    // D16: defining function -CONTAINS-> the DataModel contracts in its body
+    val dmContainsE = dmWithin
+      .join(
+        fnFirstDef
+          .withColumnRenamed("resolved_conv", "conv_id")
+          .withColumnRenamed("name", "fn_name"),
+        Seq("fn_name", "conv_id"))
+      .select(edge(EdgeTypes.Contains,
+        fnKey(col("fn_name"), col("conv_id"), col("def_turn")),
+        dmKey(col("cluster")), strat = lit("data_model")): _*)
+
+    // B5: turn -CONTAINS-> its Var binding
+    val varContainsE = varRows
+      .select(edge(EdgeTypes.Contains,
+        turnKey(col("conv_id"), col("turn_idx")),
+        varKey(col("retval"), col("conv_id"), col("turn_idx")),
+        strat = lit("var_decl")): _*)
 
     // HANDLER: endpoint identity -> handler function of the declaring turn
     val handlerE = endpoints
@@ -409,10 +587,6 @@ object GraphBuild {
     // B7/D15 implements: a handler function -IMPLEMENTS-> the canonical
     // entity contract its name is derived from (trait analog); targets use
     // the post-canonicalization cluster identity
-    val dictDf = {
-      import spark.implicits._
-      graft.extract.Dictionary.aliasToCanonical.toSeq.toDF("alias", "canonical")
-    }
     val implementsE = fnNodes0
       .withColumn("alias", regexp_replace(col("name"), "_handler$", ""))
       .join(broadcast(dictDf), Seq("alias"))
@@ -420,19 +594,8 @@ object GraphBuild {
       .select(edge(EdgeTypes.Implements, fnKey(col("name"), col("conv_id"), col("turn_idx")),
         entityKey(col("cluster")), strat = lit("implements")): _*)
 
-    // B9 nested scopes via a genuine non-equi RANGE join
-    // (lang/mod.rs:667-706): a request is NESTED_IN the nearest preceding
-    // handler-definition scope within a 5-turn window of its conversation.
-    // The join is conv_id-equi + range filter, so it stays conv-local.
-    val nested0 = requests
-      .select(col("conv_id"), col("turn_idx"), col("name").as("req_name"))
-      .join(
-        fnDefs.select(col("conv_id"), col("turn_idx").as("def_idx"), col("name").as("fn_name")),
-        Seq("conv_id"))
-      .where(col("def_idx") < col("turn_idx") && col("turn_idx") <= col("def_idx") + lit(5))
-      .groupBy("conv_id", "turn_idx", "req_name")
-      .agg(max(struct(col("def_idx"), col("fn_name"))).as("m"))
-      .select(col("conv_id"), col("turn_idx"), col("req_name"), col("m.fn_name").as("fn_name"))
+    // NESTED_IN edges from the nested0 range join computed in the node
+    // section (it also feeds Request meta)
     val nestedInE = nested0
       .join(
         fnFirstDef
@@ -452,6 +615,11 @@ object GraphBuild {
       .unionByName(rendersE)
       .unionByName(implementsE)
       .unionByName(nestedInE)
+      .unionByName(testCallsE)
+      .unionByName(e2eCallsE)
+      .unionByName(ofInstanceE)
+      .unionByName(dmContainsE)
+      .unionByName(varContainsE)
     // sorted-set dedup (D1) is PER-BRANCH, pre-key, on compact natural
     // columns (mentionsE below; handlerE/operandE carry their own distinct;
     // every other branch is unique by construction: ≤1 handler/verb-path

@@ -2,71 +2,91 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.checkpoint.SnapshotTable
 import graft.extract.Mentions
 
 /** H1 partition-level incremental rebuild — the Spark re-expression of
   * `update_incremental` (ast/src/lang/graphs/graph_ops.rs:95-274): diff the
-  * stored corpus against the current one at CONVERSATION granularity,
-  * re-extract only the changed conversations, and rebuild the graph from
-  * the incrementally-maintained mention table. Extraction (the full-corpus
-  * text scan — the expensive stage at 100 TB) runs only on the delta;
-  * resolution/linking re-run over the much smaller mention and dimension
-  * tables, exactly as the reference re-links after re-parsing only changed
-  * files.
+  * COMMITTED per-conversation fingerprint table against the current corpus
+  * at conversation granularity, re-extract only the changed conversations,
+  * and rebuild the graph from the incrementally-maintained mention table.
+  *
+  * The previous corpus is NEVER re-scanned: change detection consumes only
+  * the committed fingerprint dimension (one 32-char hash per conversation)
+  * and the committed mention table — [[build]] does not even accept the old
+  * corpus as an argument, so a regression cannot reintroduce the scan
+  * (ResumeSpec proves it by deleting the old corpus files before building).
+  * The reference diffs git revisions the same way: stored hashes vs the new
+  * tree (ast/src/repo.rs get_changed_files), re-parsing only the delta.
+  *
+  * At 100 TB the new-side fingerprint scan is itself replaced by table
+  * metadata — an Iceberg snapshot diff yields the changed files/partitions
+  * without reading data; [[fingerprints]] is the sandbox stand-in that
+  * produces the identical changed-conversation set from raw parquet.
   */
 object Incremental {
 
-  final case class Plan(changed: DataFrame, deltaT: DataFrame, unchangedMentions: DataFrame)
-
-  /** Conversation-level change detection: order-sensitive content
-    * fingerprints of old vs new corpus. At 100 TB this diff comes from table
-    * metadata (an Iceberg snapshot diff; the reference diffs git revs,
-    * gat.rs:4) — the fingerprint scan is the sandbox stand-in producing the
-    * identical changed-conversation set. New and modified conversations are
-    * both "changed"; conversations absent from the new corpus simply drop
-    * out of every semi-join.
+  /** Per-conversation content fingerprint: md5 over the turn-ordered
+    * per-turn hashes. The per-turn hash is md5(to_json(struct(...))) — an
+    * UNAMBIGUOUS encoding (a plain struct->string cast renders NULL tool and
+    * the literal string 'null' identically, so distinct contents could
+    * collide and silently skip re-extraction). Per-turn hashing is
+    * scan-local; only (conv_id, 32-char hash) rows shuffle — never text.
     */
-  def changedConvs(oldT: DataFrame, newT: DataFrame): DataFrame = {
-    def fp(df: DataFrame) = df
+  def fingerprints(t: DataFrame): DataFrame =
+    t.withColumn(
+      "turn_hash",
+      md5(to_json(struct(col("turn_idx"), col("role"), col("text"), col("tool"), col("ts")))
+        .cast("binary"))
+    )
       .groupBy("conv_id")
       .agg(
         md5(
-          array_sort(
-            collect_list(struct(col("turn_idx"), col("text"), col("role"), col("tool"), col("ts")))
-          ).cast("string").cast("binary")
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("turn_idx"), col("turn_hash")))),
+              x => x.getField("turn_hash")
+            ),
+            ""
+          ).cast("binary")
         ).as("fp")
       )
-    fp(newT)
-      .join(fp(oldT).withColumnRenamed("fp", "old_fp"), Seq("conv_id"), "left")
+
+  final case class Plan(changed: DataFrame, deltaT: DataFrame, unchangedMentions: DataFrame)
+
+  /** The incremental plan against COMMITTED state: conversations whose new
+    * fingerprint is absent from or differs against the committed fingerprint
+    * table are "changed" (new + modified); conversations absent from the new
+    * corpus drop out via the semi-join on the new conv dimension.
+    */
+  def plan(committedFps: DataFrame, committedMentions: DataFrame, newT: DataFrame): Plan = {
+    // one dimension-sized materialization: conv ids + hashes, reused by the
+    // change diff AND the deleted-conversation semi-join
+    val newFps = fingerprints(newT).localCheckpoint()
+    val changed = newFps
+      .join(committedFps.withColumnRenamed("fp", "old_fp"), Seq("conv_id"), "left")
       .where(col("old_fp").isNull || col("fp") =!= col("old_fp"))
       .select("conv_id")
-  }
-
-  /** The incremental plan: changed set, the delta slice to re-extract, and
-    * the previous mentions kept as-is (changed AND removed conversations
-    * anti/semi-joined away).
-    */
-  def plan(oldT: DataFrame, oldMentions: DataFrame, newT: DataFrame): Plan = {
-    val changed = changedConvs(oldT, newT).localCheckpoint()
-    val unchangedMentions = oldMentions
+      .localCheckpoint()
+    val unchangedMentions = committedMentions
       .join(changed, Seq("conv_id"), "left_anti")
-      .join(newT.select("conv_id").distinct(), Seq("conv_id"), "left_semi")
-    val deltaT = newT.join(changed, Seq("conv_id"), "left_semi")
+      .join(newFps.select("conv_id"), Seq("conv_id"), "left_semi")
+    val deltaT = newT.join(broadcast(changed), Seq("conv_id"), "left_semi")
     Plan(changed, deltaT, unchangedMentions)
   }
 
   /** Incremental build over the new corpus: output is identical to
     * `GraphBuild.build(spark, newT)` (oracle-checked by kg_incremental and
     * asserted by ResumeSpec), but only `plan.deltaT` flows through the
-    * extractor.
+    * extractor and the old corpus is never read.
     */
   def build(
       spark: SparkSession,
-      oldT: DataFrame,
-      oldMentions: DataFrame,
+      committedFps: DataFrame,
+      committedMentions: DataFrame,
       newT: DataFrame
   ): GraphBuild.Graph = {
-    val p = plan(oldT, oldMentions, newT)
+    val p = plan(committedFps, committedMentions, newT)
     val deltaMentions = Mentions
       .extractPartitioned(
         spark,
@@ -74,5 +94,28 @@ object Incremental {
       )
       .toDF()
     GraphBuild.buildFromMentions(spark, newT, p.unchangedMentions.unionByName(deltaMentions))
+  }
+
+  /** Commit the incremental inputs of a completed run: the mention table and
+    * the conversation fingerprints, via the snapshot protocol. A later
+    * [[buildFromStore]] resumes from exactly these bytes.
+    */
+  def commitState(spark: SparkSession, baseDir: String, t: DataFrame, mentions: DataFrame): Unit = {
+    SnapshotTable.commit(mentions, s"$baseDir/mentions_store", "mentions")
+    SnapshotTable.commit(fingerprints(t), s"$baseDir/conv_fps", "conv_fps")
+  }
+
+  /** Incremental rebuild against the committed store at `baseDir` — the
+    * end-to-end H1 surface: committed fingerprints + committed mentions in,
+    * new corpus in, full graph out, delta-only extraction.
+    */
+  def buildFromStore(spark: SparkSession, baseDir: String, newT: DataFrame): GraphBuild.Graph = {
+    val fps = SnapshotTable
+      .read(spark, s"$baseDir/conv_fps")
+      .getOrElse(sys.error(s"no committed fingerprint table under $baseDir"))
+    val mentions = SnapshotTable
+      .read(spark, s"$baseDir/mentions_store")
+      .getOrElse(sys.error(s"no committed mention table under $baseDir"))
+    build(spark, fps, mentions, newT)
   }
 }

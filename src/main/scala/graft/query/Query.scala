@@ -62,23 +62,38 @@ object Query {
     expand(undirected, start, maxDepth).where(col("node_key") === targetKey)
   }
 
-  /** G16/G17 raw read-only SQL with a write denylist
+  /** Parse-plan node names a pure read-only query can produce (SELECT with
+    * joins/aggregates/windows/set-ops/CTEs/subqueries/TVFs). Anything
+    * outside this set is rejected — deny by default, so statement nodes
+    * that are neither `Command` nor classic DML (e.g. Spark 4's
+    * `UnresolvedExecuteImmediate`, which extends plain `LogicalPlan`) can
+    * never slip through a denylist gap.
+    */
+  private val allowedQueryNodes: Set[String] = Set(
+    "Project", "Filter", "Aggregate", "Sort", "Join", "LateralJoin",
+    "SubqueryAlias", "UnresolvedRelation", "UnresolvedInlineTable",
+    "UnresolvedTableValuedFunction", "UnresolvedTVFAliases",
+    "GlobalLimit", "LocalLimit", "Offset", "Tail", "Distinct", "Deduplicate",
+    "Union", "Intersect", "Except",
+    "UnresolvedWith", "WithCTE", "CTERelationDef", "CTERelationRef",
+    "UnresolvedSubqueryColumnAliases", "UnresolvedHaving", "WithWindowDefinition",
+    "Window", "Sample", "Pivot", "Unpivot", "Generate", "Range",
+    "OneRowRelation", "UnresolvedHint", "RepartitionByExpression", "Repartition"
+  )
+
+  /** G16/G17 raw read-only SQL behind a read-only gate
     * (execute_raw_cypher read-mode txn, graph_ops.rs:589-658): the statement
-    * is parsed first and anything that is not a pure query — DDL/utility
-    * Commands, INSERT/UPDATE/DELETE/MERGE DML — is rejected before
-    * execution.
+    * is parsed first and accepted only if EVERY plan node — including plans
+    * nested inside expression subqueries — is a known pure-query operator.
+    * DDL/utility Commands, DML, and statement wrappers like EXECUTE
+    * IMMEDIATE all fail the allowlist before execution.
     */
   def rawSql(spark: SparkSession, sql: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical._
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    val writes = plan.collect {
-      case c: Command                 => c
-      case i: InsertIntoStatement     => i
-      case u: UpdateTable             => u
-      case d: DeleteFromTable         => d
-      case m: MergeIntoTable          => m
+    val denied = plan.collectWithSubqueries {
+      case p if !allowedQueryNodes.contains(p.nodeName) => p.nodeName
     }
-    require(writes.isEmpty, s"write/DDL statements are denied: ${writes.head.nodeName}")
+    require(denied.isEmpty, s"only read-only queries are allowed; denied node: ${denied.headOption.getOrElse("")}")
     spark.sql(sql)
   }
 
@@ -280,21 +295,39 @@ object Query {
   }
 
   /** G11 coverage (neo4j/operations/coverage.rs:16-41): share of Function
-    * nodes with at least one incoming CALLS edge.
+    * nodes with at least one incoming CALLS edge (any caller), plus the
+    * reference's actual metric — share covered by a TEST caller (the
+    * coverage query counts tests per function, not callers).
     */
   def coverage(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val fns = nodes.where(col("node_type") === "Function")
+    val callEdges = edges.where(col("edge_type") === "CALLS")
     val called = fns.join(
-      edges.where(col("edge_type") === "CALLS").select(col("dst_key").as("node_key")),
+      callEdges.select(col("dst_key").as("node_key")),
+      Seq("node_key"),
+      "left_semi"
+    )
+    val testSrcs = nodes
+      .where(col("node_type").isin("UnitTest", "IntegrationTest", "E2etest"))
+      .select(col("node_key").as("src_key"))
+    val testCovered = fns.join(
+      callEdges
+        .join(testSrcs, Seq("src_key"), "left_semi")
+        .select(col("dst_key").as("node_key")),
       Seq("node_key"),
       "left_semi"
     )
     fns
       .agg(count(lit(1)).as("total_functions"))
       .crossJoin(called.agg(count(lit(1)).as("called_functions")))
+      .crossJoin(testCovered.agg(count(lit(1)).as("test_covered_functions")))
       .withColumn(
         "coverage",
         col("called_functions").cast("double") / col("total_functions").cast("double")
+      )
+      .withColumn(
+        "test_coverage",
+        col("test_covered_functions").cast("double") / col("total_functions").cast("double")
       )
   }
 }

@@ -88,7 +88,12 @@ object CallResolver {
       .groupBy("name", "user_prefix")
       .agg(min("def_conv").as("bu_conv"))
 
-    val c = calls.select("conv_id", "turn_idx", "name")
+    // normalize to the distinct call-site key: resolution is a per-row
+    // function of (conv_id, turn_idx, name), so duplicates carry no
+    // information — and the cascade twin's import-pass groupBy would
+    // collapse them anyway; distinct-ing BOTH entry points keeps the
+    // asserted flat==cascade row identity for ANY input (ADVICE r2)
+    val c = calls.select("conv_id", "turn_idx", "name").distinct()
     // per-call import resolution, restricted to the call's own conv x name
     // (the full conv x name matrix would be corpus-sized)
     val impRes = c
@@ -306,7 +311,8 @@ object CallResolver {
     )
 
     Cascade.run(
-      calls.select("conv_id", "turn_idx", "name"),
+      // same input normalization as the flat twin (see resolveCalls)
+      calls.select("conv_id", "turn_idx", "name").distinct(),
       Seq("conv_id", "turn_idx", "name"),
       strategies,
       fallback = Some(rem => sameName(rem.withColumn("resolved_conv", lit("unverified"))))

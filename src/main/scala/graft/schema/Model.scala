@@ -46,7 +46,8 @@ final case class NodeRow(
     body: String,
     node_key: String,
     ref_id: String,
-    meta: Map[String, String]
+    docs: Option[String],    // NodeData.docs (asg.rs:66-82): attached comments
+    meta: Map[String, String] // NodeData meta bag (asg.rs:144-228): verb/group/role/…
 )
 
 /** Materialized graph edge = the (subj, pred, obj) output triple.
@@ -101,9 +102,14 @@ object NodeTypes {
   val Import = "Import"             // per-conv header section
   val Page = "Page"                 // Page (resource surface users request)
   val EndpointGroup = "EndpointGroup" // D14 longest-prefix group parent
+  val Instance = "Instance"         // Instance (observed alias surface form; OF -> Entity)
+  val DataModel = "DataModel"       // DataModel (entity contract a function body touches)
+  val Var = "Var"                   // Var (per-turn returned value binding, B5 get_vars)
+  val IntegrationTest = "IntegrationTest" // asg.rs:248-274 test taxonomy
+  val E2eTest = "E2etest"           // reference spells the variant "E2etest" (mod.rs:328)
   val all: Seq[String] =
     Seq(Corpus, Conversation, Turn, Role, Entity, Function, Endpoint, Request, Tool, Import,
-      Page, EndpointGroup)
+      Page, EndpointGroup, Instance, DataModel, Var, IntegrationTest, E2eTest)
 }
 
 object EdgeTypes {

@@ -67,10 +67,14 @@ class ParitySpec extends SparkSpec {
     // Deliberately all-pairs + union-find here (no LSH) — if the engine's
     // LSH blocking ever misses a true pair, parity catches it.
     val entityMentions = scala.collection.mutable.ListBuffer[(String, String)]()
+    val aliasOf = scala.collection.mutable.Set[(String, String)]() // (alias surface, canonical)
     rows.foreach { r =>
       val m = aliasRe.matcher(r.text)
       while (m.find()) {
-        dict.get(m.group(1)).foreach(c => entityMentions += ((turnKey(r.conv, r.idx), c)))
+        dict.get(m.group(1)).foreach { c =>
+          entityMentions += ((turnKey(r.conv, r.idx), c))
+          aliasOf += ((m.group(1), c))
+        }
       }
     }
     val present = entityMentions.map(_._2).toSet
@@ -152,7 +156,12 @@ class ParitySpec extends SparkSpec {
         if (resolvedConv == "unverified") key4("Function", c.name, "unverified", -1)
         else key4("Function", resolvedName, resolvedConv,
           firstDefTurn((resolvedName, resolvedConv)))
-      out += Triple("CALLS", turnKey(c.conv, c.idx), dst, conf, strat)
+      // D13 USES-for-external split: unverified stub targets get USES
+      val et = if (strat == "unverified") "USES" else "CALLS"
+      out += Triple(et, turnKey(c.conv, c.idx), dst, conf, strat)
+      // B14/D12: the IntegrationTest citizen of each call turn calls the
+      // same cascade-resolved target
+      out += Triple(et, key4("IntegrationTest", c.name, c.conv, c.idx), dst, conf, strat)
     }
 
     // endpoints / requests
@@ -241,6 +250,47 @@ class ParitySpec extends SparkSpec {
         out += Triple("NESTED_IN", key4("Request", q.path, q.conv, q.idx),
           key4("Function", best.name, best.conv, firstDefTurn((best.name, best.conv))),
           1.0, "nested_scope")
+      }
+    }
+
+    // D10 instance-of: every observed alias surface -OF-> its canonical
+    // Entity cluster
+    aliasOf.foreach { case (alias, c) =>
+      out += Triple("OF", key4("Instance", alias, "", -1),
+        key4("Entity", clusterOf(c), "", -1), 1.0, "instance_of")
+    }
+
+    // E2e tests: a template-path request is an E2etest exercising the Page
+    // surface its path names
+    vps.filter(q => !q.isEp && q.path.contains("${id}")).foreach { q =>
+      val res = extract1(resRe, q.path).getOrElse("")
+      out += Triple("CALLS", key4("E2etest", q.path, q.conv, q.idx),
+        key4("Page", res, "", -1), 1.0, "e2e_page")
+    }
+
+    // B5 vars: the returned-value binding of a turn, contained by its turn
+    val varRe = Pattern.compile("returned ([0-9]+)")
+    rows.foreach { r =>
+      val m = varRe.matcher(r.text)
+      if (m.find()) {
+        out += Triple("CONTAINS", turnKey(r.conv, r.idx),
+          key4("Var", m.group(1), r.conv, r.idx), 1.0, "var_decl")
+      }
+    }
+
+    // D16 data models: a defining tool turn's body that names a dictionary
+    // alias CONTAINS that entity contract (substring scan, like the engine's
+    // instr theta-join; cluster identity from canonicalization)
+    rows.filter(_.role == "tool").foreach { r =>
+      val m = handlerRe.matcher(r.text)
+      if (m.find()) {
+        val fn = m.group(1)
+        dict.foreach { case (alias, canonical) =>
+          if (r.text.contains(alias)) clusterOf.get(canonical).foreach { cl =>
+            out += Triple("CONTAINS", key4("Function", fn, r.conv, firstDefTurn((fn, r.conv))),
+              key4("DataModel", cl, "", -1), 1.0, "data_model")
+          }
+        }
       }
     }
     out.toSet

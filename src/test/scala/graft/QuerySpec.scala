@@ -14,14 +14,24 @@ class QuerySpec extends SparkSpec {
     import graft.query.Query
     SparkTestSession.graph.nodes.createOrReplaceTempView("wd_nodes")
     assert(Query.rawSql(spark, "SELECT count(*) AS n FROM wd_nodes").count() == 1)
+    // allowlist must not over-reject real read shapes: CTE + window +
+    // expression subquery + set-op
+    assert(Query.rawSql(spark,
+      """WITH c AS (SELECT node_key, row_number() OVER (ORDER BY node_key) rn FROM wd_nodes)
+        |SELECT * FROM c WHERE rn <= (SELECT count(*) FROM wd_nodes)
+        |UNION ALL SELECT node_key, 0 FROM wd_nodes LIMIT 5""".stripMargin).count() >= 1)
     Seq(
       "DROP TABLE wd_nodes",
       "CREATE TABLE wd_t (i INT) USING parquet",
       "INSERT INTO wd_nodes SELECT * FROM wd_nodes",
       "DELETE FROM wd_nodes WHERE 1=1",
-      "UPDATE wd_nodes SET name = 'x'"
+      "UPDATE wd_nodes SET name = 'x'",
+      // deny-by-default: EXECUTE IMMEDIATE parses to a plain LogicalPlan
+      // (not Command) in Spark 4, so a denylist would have executed it
+      "EXECUTE IMMEDIATE 'DROP TABLE wd_nodes'",
+      "SELECT * FROM wd_nodes; DROP TABLE wd_nodes"
     ).foreach { sql =>
-      intercept[IllegalArgumentException](Query.rawSql(spark, sql))
+      intercept[Exception](Query.rawSql(spark, sql))
     }
   }
   import spark.implicits._
@@ -107,8 +117,10 @@ class QuerySpec extends SparkSpec {
   test("coverage ratio is consistent with uncalledFunctions") {
     val g = SparkTestSession.graph
     val cov = Query.coverage(g.nodes, g.edges)
-      .as[(Long, Long, Double)].head()
+      .select("total_functions", "called_functions", "test_covered_functions")
+      .as[(Long, Long, Long)].head()
     val uncalled = GraphOps.uncalledFunctions(g.nodes, g.edges).count()
     assert(cov._1 - cov._2 == uncalled)
+    assert(cov._3 <= cov._2, "test-covered functions are a subset of called functions")
   }
 }

@@ -88,10 +88,12 @@ class ResumeSpec extends SparkSpec {
       "text",
       when(col("conv_id") === victim, concat(col("text"), lit(" OLD"))).otherwise(col("text"))
     )
+    // the prior run's committed state: fingerprints + mention table
+    val committedFps = Incremental.fingerprints(oldT)
     val oldMentions = Mentions.extract(oldT)
 
     // change detection: exactly the one modified conversation
-    val p = Incremental.plan(oldT, oldMentions, newT)
+    val p = Incremental.plan(committedFps, oldMentions, newT)
     val changed = p.changed.collect().map(_.getString(0)).toSet
     assert(changed == Set(victim), s"changed set must be exactly the modified conv: $changed")
     // ...and only that conversation's turns flow into re-extraction
@@ -100,10 +102,48 @@ class ResumeSpec extends SparkSpec {
     assert(p.deltaT.count() == newT.where(col("conv_id") === victim).count())
 
     // the incremental graph equals the full rebuild
-    val inc = Incremental.build(spark, oldT, oldMentions, newT)
+    val inc = Incremental.build(spark, committedFps, oldMentions, newT)
     val full = GraphBuild.build(spark, newT)
     assertSameRows(full.nodes, inc.nodes)
     assertSameRows(full.edges, inc.edges)
+  }
+
+  test("H1 incremental never re-scans the old corpus: build succeeds after its files are deleted") {
+    import graft.pipeline.{GraphBuild, Incremental}
+    val newT = SparkTestSession.transcripts
+    val victim = newT.select("conv_id").orderBy("conv_id").first().getString(0)
+    val oldT = newT.where(col("conv_id") =!= victim) // victim conv is "new"
+
+    // the prior run commits its state to the store, THEN its corpus files
+    // are deleted — any read of the old corpus from here on throws
+    val storeDir = Files.createTempDirectory("graft-incstore").toString
+    val oldDir = Files.createTempDirectory("graft-oldcorpus").resolve("t").toString
+    oldT.write.parquet(oldDir)
+    val oldFromDisk = spark.read.parquet(oldDir)
+    Incremental.commitState(spark, storeDir, oldFromDisk, Mentions.extract(oldFromDisk))
+    // delete the old corpus bytes (keep the dir so the reader is bound)
+    import scala.jdk.CollectionConverters._
+    Files.list(java.nio.file.Paths.get(oldDir)).iterator().asScala
+      .foreach(p => Files.delete(p))
+
+    // change detection + rebuild from the committed store only
+    val inc = Incremental.buildFromStore(spark, storeDir, newT)
+    val full = GraphBuild.build(spark, newT)
+    assertSameRows(full.nodes, inc.nodes)
+    assertSameRows(full.edges, inc.edges)
+  }
+
+  test("fingerprint encoding is unambiguous: NULL tool vs literal 'null' differ") {
+    import graft.pipeline.Incremental
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val a = Seq(("c1", 0, "user", "x", Option.empty[String], ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val b = Seq(("c1", 0, "user", "x", Option("null"), ts))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val fa = Incremental.fingerprints(a).select("fp").as[String].head()
+    val fb = Incremental.fingerprints(b).select("fp").as[String].head()
+    assert(fa != fb, "NULL tool and the string 'null' must fingerprint differently")
   }
 
   test("snapshot commit is atomic: a stray tmp manifest is never visible") {
