@@ -26,8 +26,14 @@ import graft.sources.Transcripts
   * the pair is ALWAYS local[2] -> local[8] regardless of the headline CPUS —
   * round 2 ran the high leg at the headline's local[32], producing a 2->32
   * pair on a 32-core box (driver/GC/OS contending with executors), which
-  * evidences nothing either way. Each leg runs in a FRESH SparkSession
-  * (stop + rebuild) so neither inherits the other's heap residency.
+  * evidences nothing either way. Each leg runs in its OWN SUBPROCESS JVM
+  * constrained like a real N-core cluster slice: `-XX:ActiveProcessorCount=N`
+  * (JIT/GC/common-pool threads sized to N, as a cgroup cpu limit would) and
+  * heap proportional to cores (4 GiB/core, typical executor sizing). The
+  * round-3 in-process legs shared one 100+ GiB heap and the full box's ~23
+  * G1 GC threads, which over-provisioned the SMALL leg (free parallelism
+  * beyond its 2 worker threads) and measured 0.28 "efficiency" — a harness
+  * artifact, not engine behavior.
   *
   * Env knobs:
   *   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
@@ -39,7 +45,9 @@ import graft.sources.Transcripts
   *   SPARK_GRAFT_SCALE   corpus replication factor R (default 16): input is
   *                       unioned R times with distinct conv_id suffixes so
   *                       fixed planning overhead doesn't dominate
-  *   SPARK_GRAFT_REPS    headline build repetitions (default 3, median)
+  *   SPARK_GRAFT_REPS    headline build repetitions (default 5, median; an
+  *                       UNTIMED 1/8-scale warmup build runs first so rep 1
+  *                       doesn't pay JIT compilation + heap first-touch)
   *   SPARK_GRAFT_QUERIES "0" skips the per-query suite
   *   SPARK_GRAFT_SCALING "0" skips the scaling legs
   */
@@ -60,13 +68,13 @@ object Bench {
         .drop("rep")
   }
 
-  private def session(cpus: Int, parts: Int): SparkSession = {
-    val s = SparkSession
+  private[graft] def session(cpus: Int, parts: Int): SparkSession = {
+    val s = graft.util.Tuning(SparkSession
       .builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", sys.env.getOrElse("SPARK_GRAFT_UI", "false"))
+      .config("spark.ui.enabled", sys.env.getOrElse("SPARK_GRAFT_UI", "false")))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -84,7 +92,7 @@ object Bench {
     * when nothing outside `keep` will be read again; Bench guarantees that
     * by purging at phase boundaries and after fully-consumed queries.
     */
-  private def purgeExcept(spark: SparkSession, keep: Set[Int]): Unit = {
+  private[graft] def purgeExcept(spark: SparkSession, keep: Set[Int]): Unit = {
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!keep.contains(id)) rdd.unpersist(blocking = false)
     }
@@ -95,7 +103,7 @@ object Bench {
     * (measured 128 s -> 103 s at local[8]/scale 64 with AQE off). The query
     * suite keeps AQE on — runtime re-planning is the production default.
     */
-  private def aqe(spark: SparkSession, on: Boolean): Unit =
+  private[graft] def aqe(spark: SparkSession, on: Boolean): Unit =
     spark.conf.set("spark.sql.adaptive.enabled", on.toString)
 
   /** One full build + single-action node/edge count; returns
@@ -104,7 +112,7 @@ object Bench {
     * checkpoints — i.e. the steady-state operator throughput with the
     * one-time corpus materialization and dimension/canon jobs excluded.
     */
-  private def timedBuild(
+  private[graft] def timedBuild(
       spark: SparkSession, sfDir: String, scale: Int
   ): (Double, Long, Long, Double) = {
     val b0 = System.nanoTime()
@@ -127,24 +135,46 @@ object Bench {
     (sec, counts.getOrElse("nodes", 0L), counts.getOrElse("edges", 0L), warmSec)
   }
 
+  /** Cumulative stop-the-world GC milliseconds of this JVM (all collectors):
+    * per-rep deltas go into the bench JSON so a slow rep is attributable
+    * (GC residency vs genuine compute) instead of guessed at.
+    */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime)
+      .sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", math.min(cpus, 16).toString).toInt
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val runQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val runScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
 
     val spark = session(cpus, parts)
     aqe(spark, on = false)
+    // untimed warmup at 1/8 scale: the full code path JIT-compiles and the
+    // heap takes its first-touch page faults OUTSIDE the timed reps (round-3
+    // rep 1 ran 267 s vs 70 s for rep 3 on an idle box)
+    timedBuild(spark, sfDir, math.max(1, scale / 8))
+    purgeExcept(spark, Set.empty)
+    System.gc()
+    var gcPrev = gcMillis
+    val gcSecs = scala.collection.mutable.ListBuffer.empty[Double]
     val runs = (1 to math.max(1, reps)).map { _ =>
       val r = timedBuild(spark, sfDir, scale)
       // release the rep's checkpoint/cache blocks before the next rep: the
       // shared caches are not populated yet, so everything is garbage here
       purgeExcept(spark, Set.empty)
       System.gc()
+      val gcNow = gcMillis
+      gcSecs += (gcNow - gcPrev) / 1e3
+      gcPrev = gcNow
       r
     }
     aqe(spark, on = true)
@@ -179,46 +209,106 @@ object Bench {
 
     // Scaling legs: same job, same input, 2 vs 8 cores (the north-rule
     // N -> 4N pair) — ALWAYS 2->8 regardless of the headline CPUS, each in
-    // a fresh session (clean heap, equal footing), at a LARGER replication
-    // (default 64, ~6.4M turns) than the headline so the parallel term
-    // dominates the fixed single-box overhead (driver, GC, checkpoints).
+    // its own subprocess JVM constrained to the leg's core count
+    // (ActiveProcessorCount) with 4 GiB heap per core, at a LARGER
+    // replication (default 64, ~6.4M turns) than the headline so the
+    // parallel term dominates the fixed single-box overhead.
     val lowCpus = 2
     val hiCpus = 8 // pinned 2->8: the N->4N criterion pair
     val scalingScale = sys.env.getOrElse("SPARK_GRAFT_SCALING_SCALE", "64").toInt
     val scalingJson =
       if (!runScaling) "null"
       else {
-        val sHi = freshSession(hiCpus, hiCpus)
-        aqe(sHi, on = false)
-        val (hiSec, _, hiEdges, hiWarm) = timedBuild(sHi, sfDir, scalingScale)
-        val hiTp = hiEdges / hiSec
-        val sLo = freshSession(lowCpus, lowCpus)
-        aqe(sLo, on = false)
-        val (lowSec, _, lowEdges, lowWarm) = timedBuild(sLo, sfDir, scalingScale)
-        val lowTp = lowEdges / lowSec
-        val ratio = hiCpus.toDouble / lowCpus
-        val eff = (hiTp / lowTp) / ratio
-        // steady-state operator-DAG scaling: same counts recomputed from the
-        // materialized corpus checkpoints (one-time costs excluded)
-        val effWarm = (lowWarm / hiWarm) / ratio
-        sLo.stop()
-        s"""{"scale":$scalingScale,"cpus_high":$hiCpus,"build_sec_high":$hiSec,""" +
-          s""""triples_per_sec_high":$hiTp,"cpus_low":$lowCpus,"build_sec_low":$lowSec,""" +
-          s""""triples_per_sec_low":$lowTp,"efficiency_${lowCpus}_to_$hiCpus":$eff,""" +
-          s""""warm_sec_high":$hiWarm,"warm_sec_low":$lowWarm,""" +
-          s""""efficiency_warm_${lowCpus}_to_$hiCpus":$effWarm}"""
+        val hi = ScalingLeg.runIsolated(sfDir, scalingScale, hiCpus)
+        val lo = ScalingLeg.runIsolated(sfDir, scalingScale, lowCpus)
+        (hi, lo) match {
+          case (Some((hiSec, hiEdges, hiWarm)), Some((lowSec, lowEdges, lowWarm))) =>
+            val hiTp = hiEdges / hiSec
+            val lowTp = lowEdges / lowSec
+            val ratio = hiCpus.toDouble / lowCpus
+            val eff = (hiTp / lowTp) / ratio
+            // steady-state operator-DAG scaling: same counts recomputed from
+            // the materialized corpus checkpoints (one-time costs excluded)
+            val effWarm = (lowWarm / hiWarm) / ratio
+            s"""{"scale":$scalingScale,"cpus_high":$hiCpus,"build_sec_high":$hiSec,""" +
+              s""""triples_per_sec_high":$hiTp,"cpus_low":$lowCpus,"build_sec_low":$lowSec,""" +
+              s""""triples_per_sec_low":$lowTp,"efficiency_${lowCpus}_to_$hiCpus":$eff,""" +
+              s""""warm_sec_high":$hiWarm,"warm_sec_low":$lowWarm,""" +
+              s""""efficiency_warm_${lowCpus}_to_$hiCpus":$effWarm,"isolation":"subprocess"}"""
+          case _ => "null"
+        }
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = buildSec + results.values.sum
     val runsJson = runs.map(_._1).mkString("[", ",", "]")
+    val gcJson = gcSecs.mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""cpus":$cpus,"parts":$parts,"scale":$scale,"build_sec":$buildSec,""" +
-        s""""build_sec_min":$buildSecMin,"build_runs":$runsJson,""" +
+        s""""build_sec_min":$buildSecMin,"build_runs":$runsJson,"gc_secs":$gcJson,""" +
         s""""heap_gb":$heapGb,"prime_sec":$primeSec,"nodes":$nNodes,"edges":$nEdges,""" +
         s""""triples_per_sec":$triplesPerSec,"warm_recount_sec":$warmSec,""" +
         s""""scaling":$scalingJson}"""
     )
+  }
+}
+
+/** One scaling leg in an isolated child JVM — the sandbox analog of running
+  * the same spark-submit job on an N-core cluster slice. The child is
+  * resource-constrained the way a container would be:
+  * `-XX:ActiveProcessorCount=N` (JIT/GC/common-pool thread counts all derive
+  * from it) and `-Xmx = 4 GiB × N` (heap grows with the "cluster size", as
+  * executor memory does). The parent parses one `LEG {...}` line.
+  */
+object ScalingLeg {
+
+  /** Child entry: build at local[cpus], print one result line. An untimed
+    * 1/8-scale build runs first so the leg measures the engine, not the
+    * child JVM's JIT compilation (~40 s of the first build at any core
+    * count).
+    */
+  def main(args: Array[String]): Unit = {
+    val (sfDir, scale, cpus) = (args(0), args(1).toInt, args(2).toInt)
+    val s = Bench.session(cpus, cpus)
+    Bench.aqe(s, on = false)
+    Bench.timedBuild(s, sfDir, math.max(1, scale / 8))
+    Bench.purgeExcept(s, Set.empty)
+    System.gc()
+    val (sec, _, edges, warm) = Bench.timedBuild(s, sfDir, scale)
+    println(s"""LEG {"build_sec":$sec,"edges":$edges,"warm_sec":$warm}""")
+    s.stop()
+  }
+
+  /** Parent side: spawn the constrained child, return (buildSec, edges,
+    * warmSec), or None if the child failed.
+    */
+  def runIsolated(sfDir: String, scale: Int, cpus: Int): Option[(Double, Long, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    // inherit this JVM's flags (the Spark add-opens set) minus heap sizing
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+      .asScala
+      .filterNot(a =>
+        a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+          a.startsWith("-XX:ActiveProcessorCount"))
+      .toSeq
+    val cmd = Seq(javaBin) ++ inherited ++ Seq(
+      s"-Xmx${4 * cpus}g",
+      s"-XX:ActiveProcessorCount=$cpus",
+      "-cp",
+      System.getProperty("java.class.path"),
+      "graft.ScalingLeg",
+      sfDir,
+      scale.toString,
+      cpus.toString
+    )
+    val proc = new ProcessBuilder(cmd.asJava)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+      .start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    proc.waitFor()
+    val re = """LEG \{"build_sec":([0-9.Ee+-]+),"edges":(\d+),"warm_sec":([0-9.Ee+-]+)\}""".r
+    out.collectFirst { case re(b, e, w) => (b.toDouble, e.toLong, w.toDouble) }
   }
 }

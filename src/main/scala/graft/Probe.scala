@@ -16,6 +16,10 @@ object Probe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.file.transferTo", sys.env.getOrElse("SPARK_GRAFT_TRANSFERTO", "true"))
+      .config("spark.serializer", sys.env.getOrElse("SPARK_GRAFT_SERIALIZER", "org.apache.spark.serializer.JavaSerializer"))
+      .config("spark.shuffle.sort.bypassMergeThreshold", sys.env.getOrElse("SPARK_GRAFT_BYPASS", "200"))
+      .config("spark.rdd.compress", sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -86,6 +90,9 @@ object Probe {
       case Some("build") =>
         val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
         val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val jobMillis = new java.util.concurrent.atomic.AtomicLong()
+        val taskMillis = new java.util.concurrent.atomic.AtomicLong()
+        val nTasks = new java.util.concurrent.atomic.AtomicLong()
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             starts.put(j.jobId, j.time)
@@ -95,12 +102,26 @@ object Probe {
           }
           override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             val dur = (j.time - starts.getOrDefault(j.jobId, j.time)) / 1000.0
+            jobMillis.addAndGet((dur * 1000).toLong)
             if (dur > 0.5) println(f"[probe]   job ${j.jobId} END: $dur%.1f s")
           }
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            taskMillis.addAndGet(e.taskInfo.duration)
+            nTasks.incrementAndGet()
+          }
         })
+        val w0 = System.nanoTime()
         time("ISOLATED full build (edges.count)") {
           graft.pipeline.GraphBuild.build(spark, t).edges.count()
         }
+        val wall = (System.nanoTime() - w0) / 1e9
+        // in-job vs between-job split: jobs here run sequentially (every
+        // barrier is an action), so wall - sum(jobDur) ~= driver-side time
+        // (planning, codegen, broadcast collects' local work)
+        println(f"[probe] wall=$wall%.1f s  sum(jobDur)=${jobMillis.get / 1e3}%.1f s  " +
+          f"driverGap=${wall - jobMillis.get / 1e3}%.1f s")
+        println(f"[probe] sum(taskDur)=${taskMillis.get / 1e3}%.1f s over ${nTasks.get} tasks " +
+          f"-> avg parallelism=${taskMillis.get / 1e3 / wall}%.1f")
         println(s"[probe] build jobs: " +
           s"${spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0}")
         spark.stop(); return

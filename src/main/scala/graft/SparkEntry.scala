@@ -9,6 +9,7 @@ import graft.pipeline.GraphBuild
 import graft.query.Query
 import graft.resolve.CallResolver
 import graft.sources.Transcripts
+import graft.util.Ckpt._
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` twin) per
   * implemented operator from SURVEY.md §2. The transcript corpus is derived
@@ -43,7 +44,7 @@ object SparkEntry {
   private[graft] def mentionsOf(s: SparkSession, dir: String): DataFrame =
     mentionCache.getOrElseUpdate(
       (s, dir),
-      Mentions.extract(Transcripts.fromEvents(s, dir)).localCheckpoint()
+      Mentions.extract(Transcripts.fromEvents(s, dir)).lcp()
     )
 
   // one graph build per (session, sfDir) within a Verify/Bench run
@@ -57,7 +58,7 @@ object SparkEntry {
         // LogicalRDD leaf so every downstream query plans/executes against
         // materialized tables — without it, iterative consumers (pagerank,
         // BFS) re-analyze the full build tree per iteration
-        GraphBuild.Graph(g.nodes.localCheckpoint(), g.edges.localCheckpoint(), g.mentions)
+        GraphBuild.Graph(g.nodes.lcp(), g.edges.lcp(), g.mentions)
       }
     )
 
@@ -99,8 +100,8 @@ object SparkEntry {
           .fromEvents(s, dir)
           .where(col("ts") < lit("2024-01-08").cast("timestamp"))
         (
-          pipeline.Incremental.fingerprints(oldT).localCheckpoint(),
-          Mentions.extract(oldT).localCheckpoint()
+          pipeline.Incremental.fingerprints(oldT).lcp(),
+          Mentions.extract(oldT).lcp()
         )
       }
     )
@@ -210,6 +211,11 @@ object SparkEntry {
       val g = graphOf(s, dir)
       val start = g.nodes.where(col("node_type") === "Corpus").select("node_key")
       Query.expand(g.edges, start, 2, Seq("CONTAINS"))
+    },
+    // G7 get_repo_map: archy-style indented CONTAINS tree, depth 2
+    "kg_repo_map" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      Query.repoMap(g.nodes, g.edges, 2)
     },
     // G12 impact: reverse closure from Entity 'spark', depth 2
     "kg_impact" -> { (s, dir) =>
@@ -684,6 +690,19 @@ object SparkEntry {
         WHERE w.depth < 2
       )
       SELECT node_key, min(depth) AS depth FROM walk GROUP BY node_key
+    """),
+    "kg_repo_map" -> Oracles.withGraph("""
+      , tree(node_key, node_type, name, depth, sort_path) AS (
+        SELECT n.node_key, n.node_type, n.name, 0, n.name
+        FROM nodes n WHERE n.node_type = 'Corpus'
+        UNION ALL
+        SELECT c.node_key, c.node_type, c.name, t.depth + 1, t.sort_path || '/' || c.name
+        FROM tree t
+        JOIN edges e ON e.edge_type = 'CONTAINS' AND e.src_key = t.node_key
+        JOIN nodes c ON c.node_key = e.dst_key
+        WHERE t.depth < 2
+      )
+      SELECT sort_path, repeat('  ', depth) || node_type || ' ' || name AS render FROM tree
     """),
     "kg_impact" -> Oracles.withGraph(s"""
       , rwalk(node_key, depth) AS (

@@ -2,6 +2,7 @@ package graft.canon
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Ckpt._
 
 /** Canonicalization — alias merging beyond exact keys (north rule; the
   * reference only collapses EXACT canonical keys via MERGE, utils.rs:82-136,
@@ -92,7 +93,7 @@ object Canon {
       )
       .where(col("jaccard") >= minJaccard)
       .select("name_a", "name_b", "jaccard")
-      .localCheckpoint()
+      .lcp()
     sh.unpersist()
     pairs
   }
@@ -107,7 +108,7 @@ object Canon {
       .select(col("name_a").as("src"), col("name_b").as("dst"))
       .unionByName(pairs.select(col("name_b").as("src"), col("name_a").as("dst")))
       .cache()
-    var labels = vertices.select(col("name"), col("name").as("cluster")).localCheckpoint()
+    var labels = vertices.select(col("name"), col("name").as("cluster")).lcp()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -119,7 +120,7 @@ object Canon {
         .join(msgs, Seq("name"), "left")
         .withColumn("new_cluster", least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))))
         .select(col("name"), col("new_cluster").as("cluster"), col("cluster").as("old"))
-        .localCheckpoint()
+        .lcp()
       changed = next.where(col("cluster") =!= col("old")).count()
       labels = next.select("name", "cluster")
       it += 1

@@ -2,6 +2,7 @@ package graft.datapipe
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Ckpt._
 
 /** Document deduplication family for large-scale training-data pipelines,
   * over the `documents` table (doc_id, text, lang, source, n_chars).
@@ -106,7 +107,7 @@ object DocDedup {
       )
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint()
+      .lcp()
     sh.unpersist()
     pairs
   }
@@ -155,7 +156,7 @@ object DocDedup {
       )
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint() // see nearDupPairs: materialize, then release input
+      .lcp() // see nearDupPairs: materialize, then release input
     sh.unpersist()
     pairs
   }

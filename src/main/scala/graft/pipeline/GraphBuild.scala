@@ -7,6 +7,7 @@ import graft.functions.Keys
 import graft.link.PathNorm
 import graft.resolve.CallResolver
 import graft.schema.{EdgeTypes, NodeTypes}
+import graft.util.Ckpt._
 
 /** Graph materialization — the transcript analog of the reference's
   * 15-stage `build_graph` pipeline (ast/src/builder/core.rs:48-235) fused
@@ -153,7 +154,7 @@ object GraphBuild {
     // artifact, not plan behavior) — so it stays. On a real cluster each
     // executor holds 1/N of the checkpoint, which removes the shared-heap
     // residency that drives the artifact.
-    val t = transcripts.repartition(col("conv_id")).localCheckpoint(eager = false)
+    val t = transcripts.repartition(col("conv_id")).lcp(eager = false)
     // ONE fused mapPartitions pass (broadcast trie) instead of the 4-branch
     // Catalyst regex union — identical output (asserted by ExtractionSpec);
     // the Catalyst twin remains the oracle-checked kg_mentions surface.
@@ -168,12 +169,12 @@ object GraphBuild {
     * graph (graph_ops.rs:95-274).
     */
   def buildFromMentions(spark: SparkSession, transcripts: DataFrame, mentions: DataFrame): Graph = {
-    val t = transcripts.repartition(col("conv_id")).localCheckpoint(eager = false)
+    val t = transcripts.repartition(col("conv_id")).lcp(eager = false)
     buildCore(spark, t, mentions)
   }
 
   private def buildCore(spark: SparkSession, t: DataFrame, mentions0: DataFrame): Graph = {
-    val mentions = mentions0.localCheckpoint()
+    val mentions = mentions0.lcp()
 
     val entityM = mentions.where(col("mention_type") === "Entity")
     val fnDefs = mentions.where(col("mention_type") === "FunctionDef")
@@ -196,7 +197,7 @@ object GraphBuild {
     val canonNames = resolvedEntities0
       .select(col("canonical").as("name"))
       .distinct()
-      .localCheckpoint()
+      .lcp()
     val clusters = graft.canon.Canon
       .connectedComponents(canonNames, graft.canon.Canon.candidatePairs(canonNames, 0.3))
       .withColumnRenamed("name", "canonical")
@@ -222,7 +223,7 @@ object GraphBuild {
       .groupBy("conv_id", "turn_idx", "req_name")
       .agg(max(struct(col("def_idx"), col("fn_name"))).as("m"))
       .select(col("conv_id"), col("turn_idx"), col("req_name"), col("m.fn_name").as("fn_name"))
-      .localCheckpoint(eager = false) // 2 consumers: Request meta + NESTED_IN edges
+      .lcp(eager = false) // 2 consumers: Request meta + NESTED_IN edges
 
     // --- nodes ---------------------------------------------------------
     val spine = spineNodes(spark, t)
@@ -240,7 +241,7 @@ object GraphBuild {
     val instanceIds = resolvedEntities
       .select(col("name"), col("canonical"))
       .distinct()
-      .localCheckpoint(eager = false) // nodes + OF edge branch
+      .lcp(eager = false) // nodes + OF edge branch
     val instanceNodes = mkNodes(instanceIds.select(col("name")).distinct(),
       NodeTypes.Instance, col("name"), lit(""), lit(-1))
 
@@ -259,7 +260,7 @@ object GraphBuild {
       .groupBy(col("name"), col("conv_id"))
       .agg(min(col("turn_idx")).as("turn_idx"))
       // consumed by ~6 node/edge branches — one shared computation
-      .localCheckpoint(eager = false)
+      .lcp(eager = false)
     val fnNodes = mkNodes(
       fnNodes0.join(fnDocs, Seq("conv_id", "turn_idx", "name"), "left"),
       NodeTypes.Function, col("name"), col("conv_id"), col("turn_idx"),
@@ -275,7 +276,7 @@ object GraphBuild {
     val epIds = endpoints
       .select(PathNorm.canonical(PathNorm.normalizeBackend(col("path"))).as("name"), col("verb"))
       .distinct()
-      .localCheckpoint(eager = false) // 4 consumers (nodes, groups, 2 edge branches)
+      .lcp(eager = false) // 4 consumers (nodes, groups, 2 edge branches)
     val epNodes = mkNodes(epIds, NodeTypes.Endpoint, col("name"), lit(""), lit(-1),
       verb = col("verb"),
       meta = map(lit("verb"), col("verb"),
@@ -300,7 +301,7 @@ object GraphBuild {
       .withColumn("retval", regexp_extract(col("text"), "returned ([0-9]+)", 1))
       .where(length(col("retval")) > 0)
       .select(col("conv_id"), col("turn_idx"), col("retval"))
-      .localCheckpoint(eager = false) // nodes + CONTAINS edge branch
+      .lcp(eager = false) // nodes + CONTAINS edge branch
     val varNodes = mkNodes(varRows, NodeTypes.Var, col("retval"), col("conv_id"), col("turn_idx"))
 
     // B14/D12 test nodes as graph citizens (asg.rs:248-274; linker.rs:34-235):
@@ -314,7 +315,7 @@ object GraphBuild {
       .where(col("name").contains("${id}"))
       .select(col("conv_id"), col("turn_idx"), col("name"),
         regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("res"))
-      .localCheckpoint(eager = false) // nodes + CALLS-page edge branch
+      .lcp(eager = false) // nodes + CALLS-page edge branch
     val e2eTestNodes = mkNodes(e2eRows, NodeTypes.E2eTest,
       col("name"), col("conv_id"), col("turn_idx"),
       meta = map(lit("kind"), lit("e2e")))
@@ -325,7 +326,7 @@ object GraphBuild {
       .select(regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("name"))
       .where(length(col("name")) > 0)
       .distinct()
-      .localCheckpoint(eager = false)
+      .lcp(eager = false)
     val pageNodes = mkNodes(pageIds, NodeTypes.Page, col("name"), lit(""), lit(-1))
 
     // D14 longest-prefix endpoint groups as first-class parent nodes
@@ -355,7 +356,7 @@ object GraphBuild {
       .join(broadcast(clusters), Seq("canonical"))
       .select(col("fn_name"), col("conv_id"), col("cluster"))
       .distinct()
-      .localCheckpoint(eager = false) // nodes + CONTAINS edge branch
+      .lcp(eager = false) // nodes + CONTAINS edge branch
     val dmNodes = mkNodes(dmWithin.select(col("cluster")).distinct(),
       NodeTypes.DataModel, col("cluster"), lit(""), lit(-1))
 
@@ -465,7 +466,7 @@ object GraphBuild {
         "target_key",
         when(col("def_turn").isNull, fnKey(col("name"), lit("unverified"), lit(-1)))
           .otherwise(fnKey(col("resolved_name"), col("resolved_conv"), col("def_turn"))))
-      .localCheckpoint(eager = false)
+      .lcp(eager = false)
     val callsFn = resolvedTargets
       .select(edgeC(
         callEdgeType,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.checkpoint.SnapshotTable
 import graft.extract.Mentions
+import graft.util.Ckpt._
 
 /** H1 partition-level incremental rebuild — the Spark re-expression of
   * `update_incremental` (ast/src/lang/graphs/graph_ops.rs:95-274): diff the
@@ -62,12 +63,12 @@ object Incremental {
   def plan(committedFps: DataFrame, committedMentions: DataFrame, newT: DataFrame): Plan = {
     // one dimension-sized materialization: conv ids + hashes, reused by the
     // change diff AND the deleted-conversation semi-join
-    val newFps = fingerprints(newT).localCheckpoint()
+    val newFps = fingerprints(newT).lcp()
     val changed = newFps
       .join(committedFps.withColumnRenamed("fp", "old_fp"), Seq("conv_id"), "left")
       .where(col("old_fp").isNull || col("fp") =!= col("old_fp"))
       .select("conv_id")
-      .localCheckpoint()
+      .lcp()
     val unchangedMentions = committedMentions
       .join(changed, Seq("conv_id"), "left_anti")
       .join(newFps.select("conv_id"), Seq("conv_id"), "left_semi")

@@ -2,6 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Ckpt._
 
 /** Query/serving operators over the materialized graph (reference §2.G:
   * the Neo4j Cypher + TS layer + CLI, re-expressed as DataFrame programs).
@@ -27,9 +28,9 @@ object Query {
     val step =
       if (reverse) filtered0.select(col("dst_key").as("from"), col("src_key").as("to"))
       else filtered0.select(col("src_key").as("from"), col("dst_key").as("to"))
-    val stepC = step.localCheckpoint() // leaf plan for the iterative loop
+    val stepC = step.lcp() // leaf plan for the iterative loop
 
-    var visited = start.select(col("node_key"), lit(0).as("depth")).localCheckpoint()
+    var visited = start.select(col("node_key"), lit(0).as("depth")).lcp()
     var frontier = visited
     var d = 0
     while (d < depth && !frontier.isEmpty) {
@@ -38,8 +39,8 @@ object Query {
         .select(col("to").as("node_key"), lit(d + 1).as("depth"))
         .distinct()
         .join(visited.select("node_key"), Seq("node_key"), "left_anti")
-        .localCheckpoint() // truncate iterative lineage (SURVEY.md §7.5)
-      visited = visited.unionByName(next).localCheckpoint()
+        .lcp() // truncate iterative lineage (SURVEY.md §7.5)
+      visited = visited.unionByName(next).lcp()
       frontier = next
       d += 1
     }
@@ -97,6 +98,48 @@ object Query {
     spark.sql(sql)
   }
 
+  /** G7 get_repo_map (mcp/src/graph/graph.ts:437-456; queries.ts:761-818):
+    * CONTAINS-only expansion from the Corpus root, rendered as an
+    * archy-style indented tree. Each level carries an accumulated
+    * `sort_path` (parent path + '/' + name) so the render order is the
+    * depth-first tree order and fully deterministic; the render line is
+    * two-space indentation per depth + "NodeType name". Depth-bounded like
+    * the reference's expansion; a full-corpus map at 100 TB is a deliberate
+    * big-output query and stays distributed (no driver collect).
+    */
+  def repoMap(nodes: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
+    val contains = edges
+      .where(col("edge_type") === "CONTAINS")
+      .select(col("src_key").as("from"), col("dst_key").as("to"))
+      .lcp(eager = false)
+    val labels = nodes
+      .select(col("node_key"), col("node_type"), col("name"))
+      .lcp(eager = false)
+    var level = nodes
+      .where(col("node_type") === "Corpus")
+      .select(col("node_key"), col("node_type"), col("name"), lit(0).as("depth"),
+        col("name").as("sort_path"))
+      .lcp()
+    var out = level
+    var d = 0
+    while (d < maxDepth && !level.isEmpty) {
+      val next = level
+        .select(col("node_key").as("from"), col("sort_path").as("parent_path"))
+        .join(contains, Seq("from"))
+        .select(col("to").as("node_key"), col("parent_path"))
+        .join(labels, Seq("node_key"))
+        .select(col("node_key"), col("node_type"), col("name"), lit(d + 1).as("depth"),
+          concat(col("parent_path"), lit("/"), col("name")).as("sort_path"))
+        .lcp() // truncate iterative lineage
+      out = out.unionByName(next)
+      level = next
+      d += 1
+    }
+    out.select(
+      col("sort_path"),
+      concat(expr("repeat('  ', depth)"), col("node_type"), lit(" "), col("name")).as("render"))
+  }
+
   /** G9 shortest_path WITH path reconstruction (queries.ts:820-849 returns
     * the actual node sequence). BFS with deterministic min-parent tracking;
     * the ≤ maxDepth backtrack is a driver loop of single-row lookups — a
@@ -115,10 +158,10 @@ object Query {
       .select(col("src_key"), col("dst_key"))
       .unionByName(edges.select(col("dst_key").as("src_key"), col("src_key").as("dst_key")))
       .distinct()
-      .localCheckpoint()
+      .lcp()
 
     var visited = Seq((startKey, 0, null: String)).toDF("node_key", "depth", "parent")
-      .localCheckpoint()
+      .lcp()
     var frontier = visited.select("node_key")
     var found = startKey == targetKey
     var d = 0
@@ -131,8 +174,8 @@ object Query {
         .join(visited.select("node_key"), Seq("node_key"), "left_anti")
         .withColumn("depth", lit(d + 1))
         .select("node_key", "depth", "parent")
-        .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+        .lcp()
+      visited = visited.unionByName(next).lcp()
       frontier = next.select("node_key")
       found = !next.where(col("node_key") === targetKey).isEmpty
       d += 1
@@ -168,18 +211,18 @@ object Query {
       damping: Double = 0.85
   ): DataFrame = {
     // materialize loop inputs once: iterative plans must start from leaves
-    val keys = nodes.select(col("node_key")).localCheckpoint()
+    val keys = nodes.select(col("node_key")).lcp()
     val n = keys.count()
     val outDeg = edges.groupBy(col("src_key")).agg(count(lit(1)).as("out_deg"))
     val links = edges
       .select("src_key", "dst_key")
       .join(outDeg, "src_key")
-      .localCheckpoint()
+      .lcp()
     // dangling = nodes with no out-links; their mass spreads uniformly
     val danglingKeys = keys
       .join(links.select(col("src_key").as("node_key")).distinct(), Seq("node_key"), "left_anti")
-      .localCheckpoint()
-    var ranks = keys.withColumn("rank", lit(1.0)).localCheckpoint()
+      .lcp()
+    var ranks = keys.withColumn("rank", lit(1.0)).lcp()
     for (_ <- 1 to iters) {
       val contribs = ranks
         .join(links, ranks("node_key") === links("src_key"))
@@ -198,7 +241,7 @@ object Query {
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dmass") / lit(n.toDouble))
         )
         .select("node_key", "rank")
-        .localCheckpoint() // the single action per iteration
+        .lcp() // the single action per iteration
     }
     ranks
   }

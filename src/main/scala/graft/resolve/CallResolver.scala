@@ -3,6 +3,7 @@ package graft.resolve
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.extract.Dictionary
+import graft.util.Ckpt._
 
 /** Concrete cascade instances for the transcript KG.
   *
@@ -49,7 +50,7 @@ object CallResolver {
     // (gu/sc0/defCanon/byDate/byUser) run as CONCURRENT broadcast jobs —
     // each would otherwise re-derive this distinct from the mention table
     val defConvs = defs.select(col("name"), col("conv_id").as("def_conv")).distinct()
-      .localCheckpoint()
+      .lcp()
 
     val globallyUnique = defConvs
       .groupBy("name")
@@ -173,7 +174,7 @@ object CallResolver {
     // with more cores — measured 60s at local[8] vs 26s at local[2]).
     // EAGER checkpoint materializes it exactly once, synchronously.
     val defConvs = defs.select(col("name"), col("conv_id").as("def_conv")).distinct()
-      .localCheckpoint()
+      .lcp()
 
     // global_unique (call_finder.rs:69-84: name unique among non-empty
     // bodies): exactly one distinct defining conversation.
@@ -210,7 +211,7 @@ object CallResolver {
     val importIndex = defTools
       .groupBy("name", "tool")
       .agg(min("def_conv").as("tool_min_conv"))
-      .localCheckpoint() // eager: the defs-x-transcripts join runs ONCE
+      .lcp() // eager: the defs-x-transcripts join runs ONCE
 
     // operand (0.70, call_finder.rs:99-108 attempt 5): resolve through the
     // receiver's type — strip the _handler suffix, map the alias to its

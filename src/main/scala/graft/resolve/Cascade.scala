@@ -2,6 +2,7 @@ package graft.resolve
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Ckpt._
 
 /** The confidence-scored resolution cascade — re-expression of the
   * reference's `func_target_file_finder` strategy chain
@@ -94,7 +95,7 @@ object Cascade {
     // materialize the final union once, then release every per-pass cache —
     // repeated cascade invocations in one session (bench reps, scaling legs)
     // must not accumulate cached blocks (heap-residency leak)
-    val result = withFallback.localCheckpoint()
+    val result = withFallback.lcp()
     persisted.foreach(_.unpersist())
     result
   }

@@ -6,13 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local SparkSession for the whole forked test JVM. */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession
+    val s = graft.util.Tuning(SparkSession
       .builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
