@@ -26,6 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // NOTE on -XX:+UseTransparentHugePages: tools/MemBw.java `random` shows
+  // 2 MiB pages would cut this box's dependent-load latency 397 -> 261 ns,
+  // but with the kernel's defrag=madvise policy the madvised heap triggers
+  // synchronous compaction on fault — a scale-64 build that takes ~90 s
+  // without the flag did not finish in 10 minutes with it. Left OFF.
   // default heap sized for the scale-64 bench legs: at 8g the 8-thread leg
   // GC-thrashes on checkpoint residency while the 2-thread leg keeps up,
   // inverting the scaling comparison (the box has 128 GiB)

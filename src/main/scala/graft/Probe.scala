@@ -10,10 +10,11 @@ object Probe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cpus)
     val spark = SparkSession
       .builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.file.transferTo", sys.env.getOrElse("SPARK_GRAFT_TRANSFERTO", "true"))
@@ -87,12 +88,23 @@ object Probe {
           graft.canon.Canon.connectedComponents(names, pairs).count()
         }
         spark.stop(); return
+      case Some("plan") =>
+        val g = graft.pipeline.GraphBuild.build(spark, t)
+        val plan = g.edges.queryExecution.executedPlan.toString
+        println(plan.linesIterator.filter(l =>
+          l.contains("SortMergeJoin") || l.contains("Sort ") || l.contains("Exchange") ||
+            l.contains("BroadcastNestedLoop") || l.contains("CartesianProduct"))
+          .mkString("\n"))
+        println("[probe] full plan nodes: " + plan.linesIterator.size)
+        spark.stop(); return
       case Some("build") =>
         val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
         val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
         val jobMillis = new java.util.concurrent.atomic.AtomicLong()
         val taskMillis = new java.util.concurrent.atomic.AtomicLong()
         val nTasks = new java.util.concurrent.atomic.AtomicLong()
+        val stageMillis = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             starts.put(j.jobId, j.time)
@@ -108,6 +120,18 @@ object Probe {
           override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
             taskMillis.addAndGet(e.taskInfo.duration)
             nTasks.incrementAndGet()
+            // bucket task seconds by stage id -> diffable across runs
+            stageMillis.merge(e.stageId, e.taskInfo.duration, (a, b) => a + b)
+          }
+          override def onStageSubmitted(
+              s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+            // first graft frame of the callsite identifies the operator
+            val site = s.stageInfo.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("Probe"))
+              .getOrElse("")
+              .trim.take(60)
+            stageNames.put(s.stageInfo.stageId,
+              s.stageInfo.name.takeWhile(_ != ' ') + "#" + s.stageInfo.numTasks + " " + site)
           }
         })
         val w0 = System.nanoTime()
@@ -124,6 +148,12 @@ object Probe {
           f"-> avg parallelism=${taskMillis.get / 1e3 / wall}%.1f")
         println(s"[probe] build jobs: " +
           s"${spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0}")
+        locally {
+          import scala.jdk.CollectionConverters._
+          stageMillis.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (sid, ms) =>
+            println(f"[probe]   stage $sid%4d ${stageNames.getOrDefault(sid, "?")}%-28s ${ms / 1e3}%7.1f task-s")
+          }
+        }
         spark.stop(); return
       case _ =>
     }

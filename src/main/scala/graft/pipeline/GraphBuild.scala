@@ -105,13 +105,23 @@ object GraphBuild {
     df.select(node(lit(nodeType), name, convId, turnIdx, body, verb, docs, meta): _*)
 
   /** Containment spine: Corpus / Conversation / Turn / Role (stages 1–3). */
-  def spineNodes(spark: SparkSession, transcripts: DataFrame): DataFrame = {
-    val corpus = transcripts
+  def spineNodes(spark: SparkSession, transcripts: DataFrame): DataFrame =
+    spineNodes(spark, transcripts, transcripts)
+
+  /** Split-input spine: `tText` supplies the Turn bodies (the only branch
+    * that needs `text`); `tMeta` — a text-free projection of the SAME turns —
+    * feeds the dimension branches. Column pruning cannot reach past an RDD
+    * leaf, so scanning the full checkpoint re-deserializes the dominant text
+    * column even for a `conv_id` distinct; the narrow twin restores the
+    * pruned-scan behavior a columnar store gives for free.
+    */
+  def spineNodes(spark: SparkSession, tText: DataFrame, tMeta: DataFrame): DataFrame = {
+    val corpus = tMeta
       .limit(1)
       .select(lit("corpus").as("n"))
-    val convs = transcripts.select(col("conv_id")).distinct()
-    val turns = transcripts.select(col("conv_id"), col("turn_idx"), col("text"), col("role"))
-    val roles = transcripts.select(col("role")).distinct()
+    val convs = tMeta.select(col("conv_id")).distinct()
+    val turns = tText.select(col("conv_id"), col("turn_idx"), col("text"), col("role"))
+    val roles = tMeta.select(col("role")).distinct()
 
     mkNodes(corpus, NodeTypes.Corpus, col("n"), lit(""), lit(-1))
       .unionByName(mkNodes(convs, NodeTypes.Conversation, col("conv_id"), col("conv_id"), lit(-1)))
@@ -175,6 +185,11 @@ object GraphBuild {
 
   private def buildCore(spark: SparkSession, t: DataFrame, mentions0: DataFrame): Graph = {
     val mentions = mentions0.lcp()
+    // Text-free twin of the corpus checkpoint: ~6 dimension/edge branches
+    // need only (conv_id, turn_idx, role, tool) but an RDD-leaf scan always
+    // deserializes whole rows — through the narrow twin they move ~10% of
+    // the bytes. Costs one extra full scan to build; saves one per branch.
+    val tMeta = t.select("conv_id", "turn_idx", "role", "tool").lcp(eager = false)
 
     val entityM = mentions.where(col("mention_type") === "Entity")
     val fnDefs = mentions.where(col("mention_type") === "FunctionDef")
@@ -205,7 +220,7 @@ object GraphBuild {
       .join(broadcast(clusters), Seq("canonical"))
       .withColumn("canonical", col("cluster"))
       .drop("cluster")
-    val resolvedCalls = CallResolver.resolveCalls(fnCalls, fnDefs, t).cache()
+    val resolvedCalls = CallResolver.resolveCalls(fnCalls, fnDefs, tMeta).cache()
     val apiLinks = PathNorm.linkApi(requests, endpoints)
 
     // B9 nested scopes via a genuine non-equi RANGE join
@@ -226,7 +241,7 @@ object GraphBuild {
       .lcp(eager = false) // 2 consumers: Request meta + NESTED_IN edges
 
     // --- nodes ---------------------------------------------------------
-    val spine = spineNodes(spark, t)
+    val spine = spineNodes(spark, t, tMeta)
 
     val toolNodes = mkNodes(tools.select(col("name")).distinct(),
       NodeTypes.Tool, col("name"), lit(""), lit(-1))
@@ -362,7 +377,7 @@ object GraphBuild {
 
     // import section: one node per conversation, tools concatenated in turn
     // order (B4 combine_import_sections, builder/utils.rs:158-218)
-    val importNodes0 = t
+    val importNodes0 = tMeta
       .where(col("tool").isNotNull)
       .groupBy(col("conv_id"))
       .agg(
@@ -429,15 +444,15 @@ object GraphBuild {
       Keys.nodeKey(lit(NodeTypes.IntegrationTest), n, c, i)
     def e2eKey(n: Column, c: Column, i: Column) = Keys.nodeKey(lit(NodeTypes.E2eTest), n, c, i)
 
-    val containsConv = t.select(col("conv_id")).distinct()
+    val containsConv = tMeta.select(col("conv_id")).distinct()
       .select(edge(EdgeTypes.Contains, corpusKey, convKey(col("conv_id"))): _*)
-    val containsTurn = t
+    val containsTurn = tMeta
       .select(edge(EdgeTypes.Contains, convKey(col("conv_id")),
         turnKey(col("conv_id"), col("turn_idx"))): _*)
-    val ofRole = t
+    val ofRole = tMeta
       .select(edge(EdgeTypes.Of, turnKey(col("conv_id"), col("turn_idx")),
         roleKey(col("role"))): _*)
-    val usesTool = t
+    val usesTool = tMeta
       .where(col("tool").isNotNull)
       .select(edge(EdgeTypes.Uses, turnKey(col("conv_id"), col("turn_idx")),
         toolKey(col("tool")), strat = lit("tool_column")): _*)
@@ -559,7 +574,7 @@ object GraphBuild {
     val operandE = fnDefs
       .select(col("conv_id"), col("turn_idx"), col("name").as("fn_name"))
       .join(
-        t.where(col("tool").isNotNull).select(col("conv_id"), col("turn_idx"), col("tool")),
+        tMeta.where(col("tool").isNotNull).select(col("conv_id"), col("turn_idx"), col("tool")),
         Seq("conv_id", "turn_idx"))
       .join(
         fnFirstDef

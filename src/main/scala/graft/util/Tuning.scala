@@ -24,7 +24,19 @@ object Tuning {
 
   val confs: Seq[(String, String)] = Seq(
     "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
-    "spark.file.transferTo" -> "false"
+    // UnsafeRow blocks are acyclic: Kryo's reference tracking resets an
+    // IdentityObjectIntMap per row — ~2.5% of build CPU in JFR samples of
+    // the scale-64 build, pure overhead for this data model
+    "spark.kryo.referenceTracking" -> "false",
+    "spark.file.transferTo" -> "false",
+    // collect_list/ObjectHashAggregate falls back to SORT-BASED aggregation
+    // at 128 distinct keys per task (spark default) — the per-conversation
+    // tool concat (B4 import sections) groups by conv_id (~100k+ groups per
+    // task at bench scale), so the whole aggregation ran as an external row
+    // sort of text-bearing rows (UnsafeExternalRowSorter was a top-5 CPU
+    // frame). The hash map holds one small tool list per group; 4M entries
+    // is well within executor memory at production sizing.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4000000"
   )
 
   def apply(b: SparkSession.Builder): SparkSession.Builder =
