@@ -257,6 +257,12 @@ object Bench {
     val scalingJson =
       if (!runScaling) "null"
       else {
+        // the legs are subprocesses; release this (potentially 100 GiB) JVM's
+        // cached blocks and heap first so parent residency doesn't compete
+        // with 4 concurrent driver+executor pairs for the box's 128 GiB
+        purgeExcept(spark, Set.empty)
+        spark.stop()
+        System.gc()
         val hi = ScalingLeg.runIsolated(sfDir, scalingScale, hiCpus)
         val lo = ScalingLeg.runIsolated(sfDir, scalingScale, lowCpus)
         val interf = ScalingLeg.interferenceFactor(
