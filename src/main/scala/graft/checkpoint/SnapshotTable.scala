@@ -103,7 +103,15 @@ object SnapshotTable {
   def commit(df: DataFrame, table: String, stage: String, format: String = "parquet"): Int = {
     val next = latestSnapshotId(table).getOrElse(0) + 1
     val suffix = if (format == "parquet") "" else s".$format"
-    val dataDir = s"data/$stage-$next$suffix"
+    // Per-writer nonce in the dir name: two concurrent writers committing
+    // the same stage compute the same `next`, and mode("overwrite") on a
+    // SHARED dir would let the loser of the manifest race clobber the
+    // winner's parquet files before retrying. A collision-free dir keeps
+    // data writes strictly private; the manifest stays the only visibility
+    // point (mode is still overwrite so OUR OWN killed attempt's leftovers
+    // are reclaimed on retry with the same nonce source = new UUID).
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"data/$stage-$next-$nonce$suffix"
     df.write.mode("overwrite").format(format).save(s"$table/$dataDir")
     Files.createDirectories(snapDir(table))
     var id = math.max(next, latestSnapshotId(table).getOrElse(0) + 1)
@@ -118,6 +126,28 @@ object SnapshotTable {
         s"""{"snapshot":$id,"files":$json}""".getBytes(StandardCharsets.UTF_8)
       if (committer.publish(snapDir(table), s"_snapshot-$id.json", bytes)) done = true
       else id += 1 // another writer won this snapshot id: rebase and retry
+    }
+    id
+  }
+
+  /** Publish a snapshot with an EXPLICIT data-dir list and no data write —
+    * the replace/compaction primitive: dropping a data dir from the table
+    * (delete, rewrite, retention) is metadata-only, exactly as in Iceberg.
+    * Dirs are immutable once written, so any dir present in two manifests is
+    * byte-identical between them — the property the metadata-diff
+    * incremental planner ([[graft.pipeline.Incremental.planFromSnapshots]])
+    * relies on.
+    */
+  def commitFiles(table: String, files: Seq[String]): Int = {
+    Files.createDirectories(snapDir(table))
+    var id = latestSnapshotId(table).getOrElse(0) + 1
+    var done = false
+    while (!done) {
+      val json = files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+      val bytes =
+        s"""{"snapshot":$id,"files":$json}""".getBytes(StandardCharsets.UTF_8)
+      if (committer.publish(snapDir(table), s"_snapshot-$id.json", bytes)) done = true
+      else id += 1
     }
     id
   }

@@ -36,6 +36,48 @@ object Ann {
          |acc -> acc.xy / (sqrt(acc.xx) * sqrt(acc.yy)))""".stripMargin.replace("\n", " ")
     )
 
+  import org.apache.spark.sql.Column
+
+  val NodeDim = 64
+
+  /** Deterministic node-content embedding — the sandbox stand-in for the
+    * reference's node embedder (ast/src/lang/embedding.rs:88-110; no model
+    * runtime ships in this container). dim-64 float32 vector derived from
+    * md5(node_key|body): content-sensitive, reproducible bit-for-bit in the
+    * DuckDB oracle (ascii/substr over the same md5 hex, double divide, then
+    * float32 cast — matching Spark's double-division-then-float path). A
+    * deployment swaps this single expression for a model call batched by
+    * [[Backfill.backfill]]'s partition-local loop.
+    */
+  def nodeEmbedding(nodeKey: Column, body: Column): Column = {
+    val h = md5(concat(nodeKey, lit("|"), body))
+    array((0 until NodeDim).map { i =>
+      ((ascii(substring(h, 1 + ((i * 7 + 3) % 32), 1)) * lit(i + 1) % lit(101))
+        .cast("double") / lit(101.0d)).cast("float")
+    }: _*)
+  }
+
+  /** G4 twin over NODE vectors (the reference queries node embeddings
+    * directly, queries.ts:549-581): cosine of every node's embedding against
+    * one query node's, top-k — same broadcast-single-row cross join shape as
+    * [[vectorSearch]]. At 100 TB the embedding column is materialized by the
+    * backfill pass; here it derives inline from the honest stub.
+    */
+  def nodeVectorSearch(nodes: DataFrame, queryKey: String, threshold: Double, k: Int): DataFrame = {
+    val emb = nodes.select(
+      col("node_key"),
+      nodeEmbedding(col("node_key"), col("body")).as("embedding"))
+    val q = emb.where(col("node_key") === queryKey).select(col("embedding").as("qv"))
+    emb
+      .where(col("node_key") =!= queryKey)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine("qv", "embedding"))
+      .where(col("cos") >= threshold)
+      .select(col("node_key"), col("cos"))
+      .orderBy(col("cos").desc, col("node_key"))
+      .limit(k)
+  }
+
   /** Exact top-k per query vector by quantized inner product; queries =
     * vec_id < nQueries. Deterministic tie-break (score desc, vec_id asc).
     */

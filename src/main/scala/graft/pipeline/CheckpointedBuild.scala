@@ -54,11 +54,13 @@ object CheckpointedBuild {
         mentions.where(col("mention_type") === "Endpoint")
       )
     )
-    // Nodes/edges re-derive from the COMMITTED upstream tables via the same
-    // declarative build (GraphBuild) — the upstream stages above are the
-    // expensive extraction/resolution work; the final materialization reuses
-    // their plans cheaply. Committing nodes/edges pins the final output.
-    val g = GraphBuild.build(spark, t)
+    // Nodes/edges derive from the COMMITTED upstream tables: a resume that
+    // finds mentions/resolution snapshots on disk performs ZERO extraction
+    // and ZERO resolution work — only the (cheap, declarative) node/edge
+    // materialization re-runs. ResumeSpec counts extractor invocations to
+    // prove a kill-after-mentions resume never re-extracts.
+    val g = GraphBuild.buildFromStages(spark, t, mentions,
+      resolvedCalls, resolvedEntities, apiLinks)
     // debug-mode invariant guard: branches emit key-unique rows by
     // construction; duplicated input rows would silently break MERGE (A6)
     if (sys.env.getOrElse("SPARK_GRAFT_VALIDATE", "0") == "1") {
@@ -66,8 +68,6 @@ object CheckpointedBuild {
     }
     val nodes = r.run("nodes", "node_type")(g.nodes)
     val edges = r.run("edges", "edge_type")(g.edges)
-    // silence unused-stage warnings: these stages exist for resume + lineage
-    locally { val _ = (resolvedCalls, resolvedEntities, apiLinks) }
     Result(nodes, edges, r)
   }
 

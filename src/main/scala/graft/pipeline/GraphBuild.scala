@@ -183,7 +183,34 @@ object GraphBuild {
     buildCore(spark, t, mentions)
   }
 
-  private def buildCore(spark: SparkSession, t: DataFrame, mentions0: DataFrame): Graph = {
+  /** Resume entry point for [[CheckpointedBuild]]: EVERY expensive upstream
+    * stage — mentions, call resolution, entity resolution, api links — is a
+    * committed table read back from disk, so a resumed run performs zero
+    * extraction and zero resolution work (ResumeSpec counts extractor
+    * invocations to prove it). `resolvedEntities` is the pre-canonicalization
+    * table (what `resolved_entities` commits); clustering still runs here —
+    * it operates on the tiny canonical dimension, not the corpus.
+    */
+  def buildFromStages(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      mentions: DataFrame,
+      resolvedCalls: DataFrame,
+      resolvedEntities: DataFrame,
+      apiLinks: DataFrame
+  ): Graph = {
+    val t = transcripts.repartition(col("conv_id")).lcp(eager = false)
+    buildCore(spark, t, mentions, Some(resolvedCalls), Some(resolvedEntities), Some(apiLinks))
+  }
+
+  private def buildCore(
+      spark: SparkSession,
+      t: DataFrame,
+      mentions0: DataFrame,
+      preResolvedCalls: Option[DataFrame] = None,
+      preResolvedEntities: Option[DataFrame] = None,
+      preApiLinks: Option[DataFrame] = None
+  ): Graph = {
     val mentions = mentions0.lcp()
     // Text-free twin of the corpus checkpoint: ~6 dimension/edge branches
     // need only (conv_id, turn_idx, role, tool) but an RDD-leaf scan always
@@ -205,7 +232,8 @@ object GraphBuild {
     // `sparkengine` into `spark`), and entity identity becomes the cluster
     // label. The cluster dimension is tiny (distinct canonicals), so the CC
     // loop runs on a broadcast-scale table regardless of corpus size.
-    val resolvedEntities0 = CallResolver.resolveEntities(spark, entityM)
+    val resolvedEntities0 =
+      preResolvedEntities.getOrElse(CallResolver.resolveEntities(spark, entityM))
     // one eager materialization of the tiny canonical dimension: every CC
     // consumer (vertices, shingles, candidate pairs) reads the 8-row leaf
     // instead of re-scanning the full mention table per use
@@ -220,8 +248,9 @@ object GraphBuild {
       .join(broadcast(clusters), Seq("canonical"))
       .withColumn("canonical", col("cluster"))
       .drop("cluster")
-    val resolvedCalls = CallResolver.resolveCalls(fnCalls, fnDefs, tMeta).cache()
-    val apiLinks = PathNorm.linkApi(requests, endpoints)
+    val resolvedCalls =
+      preResolvedCalls.getOrElse(CallResolver.resolveCalls(fnCalls, fnDefs, tMeta)).cache()
+    val apiLinks = preApiLinks.getOrElse(PathNorm.linkApi(requests, endpoints))
 
     // B9 nested scopes via a genuine non-equi RANGE join
     // (lang/mod.rs:667-706): a request is NESTED_IN the nearest preceding
@@ -375,6 +404,38 @@ object GraphBuild {
     val dmNodes = mkNodes(dmWithin.select(col("cluster")).distinct(),
       NodeTypes.DataModel, col("cluster"), lit(""), lit(-1))
 
+    // B6 Class/Trait as distinct node types (completing the reference's
+    // 21-variant taxonomy, graphs/mod.rs:30-56): a Class per canonical
+    // entity CLUSTER (the code-structure citizen the clustered aliases
+    // implement), a Trait per observed dictionary canonical (the contract);
+    // Class -IMPLEMENTS-> Trait below mirrors class_includes and
+    // Class -OPERAND-> Function mirrors find_function_parent
+    // (queries/mod.rs:156-166). Both dimensions are tiny (distinct
+    // canonicals), so these branches add no corpus-scale work.
+    val classNodes = mkNodes(clusters.select(col("cluster")).distinct(),
+      NodeTypes.Class, col("cluster"), lit(""), lit(-1),
+      meta = map(lit("kind"), lit("class")))
+    val traitNodes = mkNodes(clusters.select(col("canonical")).distinct(),
+      NodeTypes.Trait, col("canonical"), lit(""), lit(-1),
+      meta = map(lit("kind"), lit("trait")))
+
+    // UnitTest: a call resolved WITHIN its own defining conversation is the
+    // unit-local test analog (reference UnitTest variant + TestType::Unit,
+    // mod.rs:47-56); integration tests stay the cross-conversation family
+    val unitTestNodes = mkNodes(
+      resolvedCalls.where(col("strategy") === "same_conv")
+        .select(col("name"), col("conv_id"), col("turn_idx")),
+      NodeTypes.UnitTest, col("name"), col("conv_id"), col("turn_idx"),
+      meta = map(lit("kind"), lit("unit")))
+
+    // Mock: the stand-in for an unverified call target (reference Mock
+    // variant; mock inventory mcp/src/graph/queries.ts:173-211) — one per
+    // distinct stub name, OF-linked to the stub Function below
+    val mockNodes = mkNodes(
+      resolvedCalls.where(col("strategy") === "unverified").select(col("name")).distinct(),
+      NodeTypes.Mock, col("name"), lit(""), lit(-1),
+      meta = map(lit("kind"), lit("mock")))
+
     // import section: one node per conversation, tools concatenated in turn
     // order (B4 combine_import_sections, builder/utils.rs:158-218)
     val importNodes0 = tMeta
@@ -406,7 +467,7 @@ object GraphBuild {
     // rewrite semantics for incremental runs.
     val nodes = Seq(spine, toolNodes, entityNodes, fnNodes, stubNodes, epNodes, reqNodes,
       importNodes, pageNodes, groupNodes, instanceNodes, dmNodes, varNodes,
-      integTestNodes, e2eTestNodes)
+      integTestNodes, e2eTestNodes, classNodes, traitNodes, unitTestNodes, mockNodes)
       .reduce(_ unionByName _)
 
     // --- edges ---------------------------------------------------------
@@ -443,6 +504,10 @@ object GraphBuild {
     def itestKey(n: Column, c: Column, i: Column) =
       Keys.nodeKey(lit(NodeTypes.IntegrationTest), n, c, i)
     def e2eKey(n: Column, c: Column, i: Column) = Keys.nodeKey(lit(NodeTypes.E2eTest), n, c, i)
+    def classKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Class), n, lit(""), lit(-1))
+    def traitKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Trait), n, lit(""), lit(-1))
+    def utestKey(n: Column, c: Column, i: Column) = Keys.nodeKey(lit(NodeTypes.UnitTest), n, c, i)
+    def mockKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Mock), n, lit(""), lit(-1))
 
     val containsConv = tMeta.select(col("conv_id")).distinct()
       .select(edge(EdgeTypes.Contains, corpusKey, convKey(col("conv_id"))): _*)
@@ -610,6 +675,38 @@ object GraphBuild {
       .select(edge(EdgeTypes.Implements, fnKey(col("name"), col("conv_id"), col("turn_idx")),
         entityKey(col("cluster")), strat = lit("implements")): _*)
 
+    // Class -OPERAND-> its method Functions (find_function_parent analog:
+    // the handler's owning class is the canonical cluster its name derives
+    // from); one row per (fn name, conv) — unique by fnNodes0 grouping
+    val classMethodE = fnNodes0
+      .withColumn("alias", regexp_replace(col("name"), "_handler$", ""))
+      .join(broadcast(dictDf), Seq("alias"))
+      .join(broadcast(clusters), Seq("canonical"))
+      .select(edge(EdgeTypes.Operand, classKey(col("cluster")),
+        fnKey(col("name"), col("conv_id"), col("turn_idx")),
+        strat = lit("class_method")): _*)
+
+    // Class -IMPLEMENTS-> Trait (class_includes analog): one row per
+    // observed canonical in the cluster dimension
+    val classImplE = clusters
+      .select(edge(EdgeTypes.Implements, classKey(col("cluster")), traitKey(col("canonical")),
+        strat = lit("class_includes")): _*)
+
+    // UnitTest -CALLS-> its same-conversation target (TestType::Unit)
+    val unitCallsE = resolvedTargets
+      .where(col("strategy") === "same_conv")
+      .select(edgeC(lit(EdgeTypes.Calls),
+        utestKey(col("name"), col("conv_id"), col("turn_idx")),
+        col("target_key"),
+        col("confidence"), col("strategy")): _*)
+
+    // Mock -OF-> the unverified stub Function it stands in for
+    val mockOfE = resolvedCalls
+      .where(col("strategy") === "unverified")
+      .select(col("name")).distinct()
+      .select(edge(EdgeTypes.Of, mockKey(col("name")),
+        fnKey(col("name"), lit("unverified"), lit(-1)), strat = lit("mock_of")): _*)
+
     // NESTED_IN edges from the nested0 range join computed in the node
     // section (it also feeds Request meta)
     val nestedInE = nested0
@@ -636,6 +733,10 @@ object GraphBuild {
       .unionByName(ofInstanceE)
       .unionByName(dmContainsE)
       .unionByName(varContainsE)
+      .unionByName(classMethodE)
+      .unionByName(classImplE)
+      .unionByName(unitCallsE)
+      .unionByName(mockOfE)
     // sorted-set dedup (D1) is PER-BRANCH, pre-key, on compact natural
     // columns (mentionsE below; handlerE/operandE carry their own distinct;
     // every other branch is unique by construction: ≤1 handler/verb-path

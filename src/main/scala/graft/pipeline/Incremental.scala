@@ -119,4 +119,124 @@ object Incremental {
       .getOrElse(sys.error(s"no committed mention table under $baseDir"))
     build(spark, fps, mentions, newT)
   }
+
+  // ------------------------------------------------------------------
+  // Snapshot-METADATA incremental (the 100 TB path): when the corpus is
+  // itself a SnapshotTable, change detection is a manifest diff — data dirs
+  // are immutable, so a dir present in both the committed and the current
+  // manifest is byte-identical and its conversations need neither
+  // re-fingerprinting NOR re-reading. The only data read in planning is the
+  // ADDED dirs (to learn their conv ids); the full-corpus md5(to_json) scan
+  // of [[fingerprints]] disappears entirely. This is exactly Iceberg's
+  // snapshot-diff incremental-read contract; [[fingerprints]] remains the
+  // fallback for raw-parquet corpora without manifests.
+  // ------------------------------------------------------------------
+
+  private def readDir = regexp_extract(input_file_name(), "(data/[^/]+)/", 1)
+
+  /** Commit the incremental state of a completed run over a SnapshotTable
+    * corpus: the mention table, the corpus manifest's data-dir list, and a
+    * (conv_id, data_dir) lineage index — the per-partition lineage rows the
+    * north rule asks for, at dir granularity. The index is computed from the
+    * corpus the run already read; no extra scan at 100 TB (it rides the
+    * build's own pass as a cheap projection).
+    */
+  def commitStateSnapshot(
+      spark: SparkSession,
+      baseDir: String,
+      corpusTable: String,
+      mentions: DataFrame
+  ): Unit = {
+    import spark.implicits._
+    val snapId = SnapshotTable
+      .latestSnapshotId(corpusTable)
+      .getOrElse(sys.error(s"$corpusTable has no committed snapshot"))
+    val dirs = SnapshotTable.readManifest(corpusTable, snapId)
+    val t = SnapshotTable.read(spark, corpusTable).get
+    SnapshotTable.commit(mentions, s"$baseDir/mentions_store", "mentions")
+    SnapshotTable.commit(dirs.toDF("data_dir"), s"$baseDir/corpus_dirs", "corpus_dirs")
+    val convDirs = t.select(col("conv_id"), readDir.as("data_dir")).distinct()
+    SnapshotTable.commit(convDirs, s"$baseDir/conv_dirs", "conv_dirs")
+  }
+
+  /** `changed` = conversations needing re-extraction; `removed` =
+    * conversations gone from the corpus (their committed mentions drop).
+    */
+  final case class SnapPlan(
+      changed: DataFrame,
+      removed: DataFrame,
+      addedDirs: Seq[String],
+      removedDirs: Seq[String])
+
+  /** Manifest-diff change detection. Reads: the two tiny store dimensions
+    * (corpus_dirs, conv_dirs) and the ADDED data dirs only — never the
+    * unchanged corpus partitions (SnapshotIncrementalSpec proves it by
+    * deleting their bytes before planning).
+    *
+    *  - added dirs' conversations: re-extract (new or modified content);
+    *  - conversations touching a REMOVED dir but still present elsewhere:
+    *    re-extract (part of their data was rewritten/compacted away);
+    *  - conversations touching a removed dir and present nowhere: removed.
+    */
+  def planFromSnapshots(spark: SparkSession, baseDir: String, corpusTable: String): SnapPlan = {
+    import spark.implicits._
+    val oldDirs = SnapshotTable
+      .read(spark, s"$baseDir/corpus_dirs")
+      .getOrElse(sys.error(s"no committed corpus_dirs under $baseDir"))
+      .as[String].collect().toSeq // dir-name dimension: O(manifest), tiny
+    val newId = SnapshotTable
+      .latestSnapshotId(corpusTable)
+      .getOrElse(sys.error(s"$corpusTable has no committed snapshot"))
+    val newDirs = SnapshotTable.readManifest(corpusTable, newId)
+    val added = newDirs.filterNot(oldDirs.contains)
+    val removed = oldDirs.filterNot(newDirs.contains)
+    val convDirs = SnapshotTable.read(spark, s"$baseDir/conv_dirs").get
+    val addedConvs =
+      if (added.isEmpty) spark.emptyDataset[String].toDF("conv_id")
+      else
+        spark.read
+          .parquet(added.map(d => s"$corpusTable/$d"): _*)
+          .select("conv_id")
+          .distinct()
+    val removedDf = broadcast(removed.toDF("data_dir"))
+    val touched = convDirs.join(removedDf, Seq("data_dir"), "left_semi")
+      .select("conv_id").distinct()
+    val surviving = convDirs.join(removedDf, Seq("data_dir"), "left_anti")
+      .select("conv_id")
+    val present = surviving.unionByName(addedConvs)
+    val changed = addedConvs
+      .unionByName(touched.join(surviving, Seq("conv_id"), "left_semi"))
+      .distinct()
+    val removedConvs = touched.join(present, Seq("conv_id"), "left_anti")
+    SnapPlan(changed, removedConvs, added, removed)
+  }
+
+  /** End-to-end snapshot-metadata incremental: manifest diff in, full graph
+    * out, with extraction confined to changed conversations and zero
+    * fingerprint scan. Output ≡ `GraphBuild.build` over the current corpus
+    * (SnapshotIncrementalSpec + the kg_incremental_snapshot oracle).
+    */
+  def buildFromSnapshotStore(
+      spark: SparkSession,
+      baseDir: String,
+      corpusTable: String
+  ): GraphBuild.Graph = {
+    val p = planFromSnapshots(spark, baseDir, corpusTable)
+    val mentions = SnapshotTable
+      .read(spark, s"$baseDir/mentions_store")
+      .getOrElse(sys.error(s"no committed mention table under $baseDir"))
+    val newT = SnapshotTable.read(spark, corpusTable).get
+    val changed = p.changed.lcp()
+    val unchangedMentions = mentions
+      .join(changed, Seq("conv_id"), "left_anti")
+      .join(p.removed, Seq("conv_id"), "left_anti")
+    val deltaT = newT.join(broadcast(changed), Seq("conv_id"), "left_semi")
+    val deltaMentions = Mentions
+      .extractPartitioned(
+        spark,
+        deltaT.where(length(col("text")) <= GraphBuild.MaxTurnChars)
+      )
+      .toDF()
+    GraphBuild.buildFromMentions(spark, newT, unchangedMentions.unionByName(deltaMentions))
+  }
 }

@@ -300,6 +300,74 @@ object Query {
       .limit(limit)
   }
 
+  /** G5 token-budget cutoff (mcp/src/graph/graph.ts:207-235): the reference
+    * truncates fused hybrid results by a RUNNING sum of token_count over the
+    * fused ranking — rows past the budget are dropped, not trimmed. Token
+    * counts come from the node body (whitespace tokens; empty body = 0).
+    * The window runs over the fused top-`limit` rows only — driver-safe.
+    */
+  def rrfFuseWithBudget(
+      sources: Seq[(DataFrame, Double)],
+      nodes: DataFrame,
+      budget: Long,
+      k: Int = 5,
+      limit: Int = 10
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = nodes.select(
+      col("node_key"),
+      when(length(trim(col("body"))) === 0, lit(0L))
+        .otherwise(size(split(trim(col("body")), "\\s+")).cast("long"))
+        .as("token_count"))
+    val w = Window
+      .orderBy(col("fused_score").desc, col("node_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rrfFuse(sources, k, limit)
+      .join(toks, Seq("node_key"))
+      .withColumn("running_tokens", sum("token_count").over(w))
+      .where(col("running_tokens") <= budget)
+  }
+
+  /** G6 fidelity (mcp/src/graph/queries.ts:616-759): the reference BFS
+    * follows a PER-EDGE-TYPE direction spec — `RENDERS>|CALLS>|CONTAINS>|
+    * HANDLER>|<OPERAND` — not one global direction. `spec` maps edge type →
+    * forward? (true = src→dst). Each leg contributes its own directed step
+    * relation; the union feeds the same min-depth BFS loop as [[expand]].
+    */
+  def expandDirected(
+      edges: DataFrame,
+      start: DataFrame,
+      depth: Int,
+      spec: Seq[(String, Boolean)]
+  ): DataFrame = {
+    val legs = spec.map { case (et, fwd) =>
+      val e = edges.where(col("edge_type") === et)
+      if (fwd) e.select(col("src_key"), col("dst_key"))
+      else e.select(col("dst_key").as("src_key"), col("src_key").as("dst_key"))
+    }
+    val step = legs.reduce(_ unionByName _).withColumn("edge_type", lit("ANY"))
+    expand(step, start, depth)
+  }
+
+  /** The reference subtree's tail join (queries.ts:744-759): after the
+    * expansion, append the Import nodes of every conversation a visited node
+    * belongs to (the reference joins Imports of visited FILES), at a fixed
+    * synthetic depth, skipping ones the walk already reached.
+    */
+  def withImportsOfVisited(visited: DataFrame, nodes: DataFrame, importDepth: Int): DataFrame = {
+    val convs = visited
+      .join(nodes.select("node_key", "conv_id"), Seq("node_key"))
+      .where(length(col("conv_id")) > 0)
+      .select("conv_id")
+      .distinct()
+    val imports = nodes
+      .where(col("node_type") === "Import")
+      .join(convs, Seq("conv_id"), "left_semi")
+      .select(col("node_key"), lit(importDepth).as("depth"))
+      .join(visited.select("node_key"), Seq("node_key"), "left_anti")
+    visited.unionByName(imports)
+  }
+
   /** G8 get_code (mcp/src/graph/graph.ts:458-476): per conversation, Turn
     * bodies concatenated in turn order + whitespace-token totals. The
     * concat is an in-partition array_sort over collected structs — one
@@ -335,6 +403,29 @@ object Query {
       .withColumn("rn", row_number().over(Window.orderBy(col("n_uses").desc, col("name"))))
       .where(col("rn") > offset && col("rn") <= offset + limit)
       .select("name", "n_uses", "rn")
+  }
+
+  /** Mock inventory (mcp/src/graph/queries.ts:173-211): Mock nodes with the
+    * usage count of the stub they stand in for (USES edges into the
+    * unverified stub Function), row_number-paginated like [[toolInventory]].
+    * The Mock dimension is tiny, so the unpartitioned window is safe.
+    */
+  def mockInventory(nodes: DataFrame, edges: DataFrame, offset: Int, limit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stubKey = graft.functions.Keys.nodeKey(
+      lit("Function"), col("name"), lit("unverified"), lit(-1))
+    val stubUses = edges
+      .where(col("edge_type") === "USES" && col("strategy") === "unverified")
+      .groupBy("dst_key")
+      .agg(count(lit(1)).as("n_calls"))
+    nodes
+      .where(col("node_type") === "Mock")
+      .select(col("name"), stubKey.as("dst_key"))
+      .join(stubUses, Seq("dst_key"), "left")
+      .na.fill(0, Seq("n_calls"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("n_calls").desc, col("name"))))
+      .where(col("rn") > offset && col("rn") <= offset + limit)
+      .select("name", "n_calls", "rn")
   }
 
   /** G11 coverage (neo4j/operations/coverage.rs:16-41): share of Function

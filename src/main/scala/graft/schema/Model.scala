@@ -107,9 +107,14 @@ object NodeTypes {
   val Var = "Var"                   // Var (per-turn returned value binding, B5 get_vars)
   val IntegrationTest = "IntegrationTest" // asg.rs:248-274 test taxonomy
   val E2eTest = "E2etest"           // reference spells the variant "E2etest" (mod.rs:328)
+  val Class = "Class"               // Class (canonical entity cluster as code structure)
+  val Trait = "Trait"               // Trait (dictionary contract a Class implements)
+  val UnitTest = "UnitTest"         // UnitTest (same-conversation-resolved call)
+  val Mock = "Mock"                 // Mock (stand-in for an unverified call target)
   val all: Seq[String] =
     Seq(Corpus, Conversation, Turn, Role, Entity, Function, Endpoint, Request, Tool, Import,
-      Page, EndpointGroup, Instance, DataModel, Var, IntegrationTest, E2eTest)
+      Page, EndpointGroup, Instance, DataModel, Var, IntegrationTest, E2eTest,
+      Class, Trait, UnitTest, Mock)
 }
 
 object EdgeTypes {

@@ -114,6 +114,18 @@ class QuerySpec extends SparkSpec {
     assert(dangling.isEmpty)
   }
 
+  test("D20 removeNode: drops exactly the node and its incident edges") {
+    val nodes = Seq("a", "b", "c", "d", "e").toDF("node_key")
+    val (kn, ke) = GraphOps.removeNode(nodes, edges, "b")
+    assert(kn.as[String].collect().toSet == Set("a", "c", "d", "e"))
+    // a->b and b->c go; c->d and a->e survive
+    assert(ke.select("src_key", "dst_key").as[(String, String)].collect().toSet ==
+      Set(("c", "d"), ("a", "e")))
+    // removing an absent key is a no-op
+    val (kn2, ke2) = GraphOps.removeNode(nodes, edges, "zzz")
+    assert(kn2.count() == 5 && ke2.count() == 4)
+  }
+
   test("coverage ratio is consistent with uncalledFunctions") {
     val g = SparkTestSession.graph
     val cov = Query.coverage(g.nodes, g.edges)
