@@ -20,21 +20,20 @@ import org.apache.spark.sql.expressions.Window
   *    probing touches 1/nCentroids of the data.
   */
 object Ann {
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
+  // native codegen'd fold (graft.functions.DotQuant): floor over DOUBLE on
+  // both engines — float*1000 computed in float vs double can floor to
+  // different integers near boundaries, so widen first. Replaces the
+  // interpreted zip_with/aggregate HOF (bit-identical sequential fold).
   private def dotInt(a: String, b: String) =
-    // floor over DOUBLE on both engines: float*1000 computed in float vs
-    // double can floor to different integers near boundaries, so widen first
-    expr(
-      s"aggregate(zip_with($a, $b, (x, y) -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(floor(CAST(y AS DOUBLE)*1000) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
+    toCol(graft.functions.DotQuant(toExpr(col(a)), toExpr(col(b))))
 
+  // native codegen'd cosine (graft.functions.CosineSim) — IEEE-identical to
+  // the struct-fold HOF it replaces: xy/(sqrt(xx)*sqrt(yy)) over a
+  // sequential double accumulation in element order.
   private def cosine(a: String, b: String) =
-    expr(
-      s"""aggregate(zip_with($a, $b, (x, y) -> struct(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) AS xy, CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS xx, CAST(y AS DOUBLE)*CAST(y AS DOUBLE) AS yy)),
-         |struct(CAST(0.0 AS DOUBLE) AS xy, CAST(0.0 AS DOUBLE) AS xx, CAST(0.0 AS DOUBLE) AS yy),
-         |(acc, v) -> struct(acc.xy + v.xy AS xy, acc.xx + v.xx AS xx, acc.yy + v.yy AS yy),
-         |acc -> acc.xy / (sqrt(acc.xx) * sqrt(acc.yy)))""".stripMargin.replace("\n", " ")
-    )
+    toCol(graft.functions.CosineSim(toExpr(col(a)), toExpr(col(b))))
 
   import org.apache.spark.sql.Column
 
@@ -63,10 +62,23 @@ object Ann {
     * [[vectorSearch]]. At 100 TB the embedding column is materialized by the
     * backfill pass; here it derives inline from the honest stub.
     */
-  def nodeVectorSearch(nodes: DataFrame, queryKey: String, threshold: Double, k: Int): DataFrame = {
-    val emb = nodes.select(
+  def nodeVectorSearch(nodes: DataFrame, queryKey: String, threshold: Double, k: Int): DataFrame =
+    nodeVectorSearchOver(nodeEmbeddings(nodes), queryKey, threshold, k)
+
+  /** The node-embedding table (node_key, embedding) — the output of the
+    * backfill pass at 100 TB. Materialize ONCE per session and feed every
+    * vector consumer ([[nodeVectorSearchOver]], hybrid fusion): the md5
+    * derivation re-reads every node body, so recomputing it per query pays
+    * a full body scan each time (three embedding consumers in the query
+    * suite did exactly that before round 4).
+    */
+  def nodeEmbeddings(nodes: DataFrame): DataFrame =
+    nodes.select(
       col("node_key"),
       nodeEmbedding(col("node_key"), col("body")).as("embedding"))
+
+  /** [[nodeVectorSearch]] over a PRE-materialized embedding table. */
+  def nodeVectorSearchOver(emb: DataFrame, queryKey: String, threshold: Double, k: Int): DataFrame = {
     val q = emb.where(col("node_key") === queryKey).select(col("embedding").as("qv"))
     emb
       .where(col("node_key") =!= queryKey)

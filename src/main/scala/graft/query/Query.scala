@@ -28,16 +28,24 @@ object Query {
     val step =
       if (reverse) filtered0.select(col("dst_key").as("from"), col("src_key").as("to"))
       else filtered0.select(col("src_key").as("from"), col("dst_key").as("to"))
-    val stepC = step.lcp() // leaf plan for the iterative loop
+    // leaf plan for the iterative loop, PRE-PARTITIONED on the join key:
+    // localCheckpoint preserves hash partitioning, so the per-level join
+    // never re-shuffles the (large) edge relation — one upfront shuffle
+    // replaces `depth` of them; per level only frontier-sized data moves
+    val stepC = step.repartition(col("from")).lcp()
 
-    var visited = start.select(col("node_key"), lit(0).as("depth")).lcp()
+    var visited = start.select(col("node_key"), lit(0).as("depth"))
+      .repartition(col("node_key")).lcp()
     var frontier = visited
     var d = 0
     while (d < depth && !frontier.isEmpty) {
       val next = frontier
         .join(stepC, frontier("node_key") === stepC("from"))
-        .select(col("to").as("node_key"), lit(d + 1).as("depth"))
-        .distinct()
+        .select(col("to").as("node_key"))
+        .distinct() // on node_key alone (depth is constant this level), so
+        // the dedup shuffle lands on hash(node_key) and the anti-join below
+        // plus the NEXT level's edge join both line up exchange-free
+        .withColumn("depth", lit(d + 1))
         .join(visited.select("node_key"), Seq("node_key"), "left_anti")
         .lcp() // truncate iterative lineage (SURVEY.md §7.5)
       visited = visited.unionByName(next).lcp()
@@ -111,9 +119,11 @@ object Query {
     val contains = edges
       .where(col("edge_type") === "CONTAINS")
       .select(col("src_key").as("from"), col("dst_key").as("to"))
-      .lcp(eager = false)
+      .repartition(col("from")) // checkpoint keeps the partitioning: the
+      .lcp(eager = false) // per-level joins re-shuffle neither relation
     val labels = nodes
       .select(col("node_key"), col("node_type"), col("name"))
+      .repartition(col("node_key"))
       .lcp(eager = false)
     var level = nodes
       .where(col("node_type") === "Corpus")
@@ -157,8 +167,10 @@ object Query {
     val undirected = edges
       .select(col("src_key"), col("dst_key"))
       .unionByName(edges.select(col("dst_key").as("src_key"), col("src_key").as("dst_key")))
-      .distinct()
-      .lcp()
+      .distinct() // shuffles on (src,dst); follow with a src_key repartition
+      .repartition(col("src_key"))
+      .lcp() // partitioning survives the checkpoint — the per-level join
+    // below never re-shuffles this 2|E| relation again
 
     var visited = Seq((startKey, 0, null: String)).toDF("node_key", "depth", "parent")
       .lcp()
@@ -210,30 +222,59 @@ object Query {
       iters: Int = 20,
       damping: Double = 0.85
   ): DataFrame = {
-    // materialize loop inputs once: iterative plans must start from leaves
-    val keys = nodes.select(col("node_key")).lcp()
-    val n = keys.count()
+    // Materialize loop inputs once, PRE-PARTITIONED on their join keys:
+    // localCheckpoint preserves hash partitioning, so every per-iteration
+    // join below lines up without an Exchange and the loop pays exactly ONE
+    // shuffle per iteration — the inherent contribs groupBy. (The naive loop
+    // re-shuffled ranks, links, and keys every iteration: 4 exchanges/iter.)
+    // Dangling nodes (no out-links) are modeled as a single synthetic edge
+    // to a virtual sink with out_deg 1, so their mass arrives as ordinary
+    // contributions on the sink's key — the rank table is then referenced
+    // exactly ONCE per iteration (the contribs join), which keeps the loop's
+    // checkpoint on the SMALL post-aggregation table instead of the full
+    // rank table and drops the per-iteration dangling semi-join/scan.
+    val sink = " dangling-sink " //   cannot appear in node keys
     val outDeg = edges.groupBy(col("src_key")).agg(count(lit(1)).as("out_deg"))
-    val links = edges
+    val realLinks = edges
       .select("src_key", "dst_key")
       .join(outDeg, "src_key")
+    val keys0 = nodes
+      .select(col("node_key"))
+      .join(
+        realLinks.select(col("src_key").as("node_key")).distinct()
+          .withColumn("has_out", lit(true)),
+        Seq("node_key"),
+        "left")
+      .withColumn("dangling", col("has_out").isNull)
+      .select("node_key", "dangling")
+    // loop inputs materialized once, PRE-PARTITIONED on their join keys:
+    // localCheckpoint preserves hash partitioning, so the per-iteration join
+    // lines up exchange-free and the loop pays exactly ONE shuffle per
+    // iteration — the inherent contribs groupBy
+    val links = realLinks
+      .unionByName(
+        keys0.where(col("dangling"))
+          .select(col("node_key").as("src_key"), lit(sink).as("dst_key"), lit(1L).as("out_deg")))
+      .repartition(col("src_key"))
       .lcp()
-    // dangling = nodes with no out-links; their mass spreads uniformly
-    val danglingKeys = keys
-      .join(links.select(col("src_key").as("node_key")).distinct(), Seq("node_key"), "left_anti")
-      .lcp()
-    var ranks = keys.withColumn("rank", lit(1.0)).lcp()
+    val keys = keys0.select("node_key").repartition(col("node_key")).lcp()
+    val n = keys.count()
+    var ranks = keys.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
+      // the hinted shuffled-hash join builds on the (small) rank side and
+      // STREAMS the pre-partitioned links — no per-iteration sort of |E|
       val contribs = ranks
+        .hint("shuffle_hash")
         .join(links, ranks("node_key") === links("src_key"))
         .select(col("dst_key").as("node_key"), (col("rank") / col("out_deg")).as("c"))
         .groupBy("node_key")
         .agg(sum("c").as("c"))
-      val danglingMass = ranks
-        .join(danglingKeys, Seq("node_key"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+        .lcp() // the single action per iteration, on the post-agg table
+      val danglingMass = contribs
+        .where(col("node_key") === sink)
+        .agg(coalesce(sum("c"), lit(0.0)).as("dmass"))
       ranks = keys
-        .join(contribs, Seq("node_key"), "left")
+        .join(contribs.where(col("node_key") =!= sink), Seq("node_key"), "left")
         .crossJoin(danglingMass) // scalar broadcast — no driver action
         .withColumn(
           "rank",
@@ -241,7 +282,6 @@ object Query {
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dmass") / lit(n.toDouble))
         )
         .select("node_key", "rank")
-        .lcp() // the single action per iteration
     }
     ranks
   }
