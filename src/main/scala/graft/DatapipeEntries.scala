@@ -79,6 +79,10 @@ object DatapipeEntries {
     "dp_ann_dot" -> ((s, dir) => Ann.bruteTopKDot(emb(s, dir), 8, 5)),
     "dp_ann_cosine" -> ((s, dir) => Ann.bruteTopKCosine(emb(s, dir), 8, 5)),
     "dp_ann_ivf" -> ((s, dir) => Ann.ivfTopK(emb(s, dir), 4, 8, 5)),
+    // embedding-cosine near-dup: the vector-space dedup member — IVF
+    // cell-local pair generation, cosine >= 0.3 (the synthetic embeddings
+    // center near cos 0, so 0.3 keeps ~1% of cell-local pairs)
+    "dp_neardup_embedding" -> ((s, dir) => Ann.embeddingNearDupPairs(emb(s, dir), 4, 0.3)),
 
     // --- canonicalization (north rule: LSH blocking + iterative CC) -------
     "kg_canon_pairs" -> ((s, dir) => Canon.candidatePairs(mentionNames(s, dir), 0.5)),
@@ -315,6 +319,26 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, cell, cand_id, score, rank FROM ranked WHERE rank <= 5""",
+    "dp_neardup_embedding" -> s"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings WHERE vec_id < 4),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id, ${dot("e.embedding", "c.centv")} AS cscore
+  FROM embeddings e, cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+)
+, pairs AS (
+  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT cell, a_id, b_id, cos FROM pairs WHERE cos >= 0.3""",
     "kg_canon_pairs" -> Oracles.withGraph(s"""$namePairsCte
 SELECT name_a, name_b, jaccard FROM npairs"""),
     "kg_canon_clusters" -> Oracles.withGraph(s"""$namePairsCte

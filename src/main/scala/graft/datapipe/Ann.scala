@@ -143,15 +143,17 @@ object Ann {
       .limit(k)
   }
 
-  /** IVF-style bucketed ANN: centroids = first `nCentroids` vectors by
-    * vec_id (deterministic, quantized scores); every vector is assigned to
-    * its max-inner-product centroid; each query probes only its own cell.
+  /** IVF coarse quantization: assign every vector to its max-inner-product
+    * centroid (centroids = first `nCentroids` vectors by vec_id,
+    * deterministic quantized scores). Shared by [[ivfTopK]] and
+    * [[embeddingNearDupPairs]] — at 100 TB this is one broadcast join + a
+    * per-vector argmax, and every downstream probe touches only its cell.
     */
-  def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
     val cents = emb
       .where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centv"))
-    val assigned = emb
+    emb
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .withColumn("cscore", dotInt("embedding", "centv"))
@@ -163,7 +165,30 @@ object Ann {
       )
       .where(col("arank") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
-      .cache()
+  }
+
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of the
+    * dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard live in
+    * [[DocDedup]]): all (a < b) pairs whose cosine clears `threshold`,
+    * blocked by IVF cell so the self-join is CELL-LOCAL — the bucketed
+    * 100 TB shape (a brute all-pairs self-join is |V|² and never runs).
+    * Same blocking-recall trade as the LSH path: cross-cell near-dups are
+    * missed by design and the cell count tunes it.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, nCentroids: Int, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(emb, nCentroids)
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("bv"))
+    a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine("av", "bv"))
+      .where(col("cos") >= threshold)
+      .select("cell", "a_id", "b_id", "cos")
+  }
+
+  /** IVF-style bucketed ANN: each query probes only its own cell. */
+  def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(emb, nCentroids).cache()
     val q = assigned
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))

@@ -12,6 +12,26 @@ import graft.util.Ckpt._
   */
 object Query {
 
+  /** Iterative driver loops run with AQE scoped OFF (restored after): their
+    * loop inputs are materialized leaves of KNOWN size and fixed
+    * partitioning, so runtime re-planning has nothing to learn, while AQE's
+    * per-query-stage materialization adds ~5 sequential scheduling barriers
+    * PER ITERATION (measured: pagerank 20 iterations ~350 ms/iter with AQE,
+    * the per-iteration data being ~140k rows). AQE-off also lets
+    * localCheckpoint capture the true hash partitioning of the
+    * pre-partitioned loop inputs (under AQE the checkpoint sees the
+    * AdaptiveSparkPlan wrapper and records UnknownPartitioning), which is
+    * what makes the per-iteration joins exchange-free. One-shot queries keep
+    * AQE on — runtime re-planning stays the production default.
+    */
+  private def withAqeOff[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f
+    finally spark.conf.set(key, prev)
+  }
+
   /** G6 get_subtree / G12 deps/impact: depth-bounded frontier expansion from
     * `start` keys following `edgeTypes` (reversed for impact). Returns
     * (node_key, depth) with BFS min-depth semantics.
@@ -23,7 +43,7 @@ object Query {
       depth: Int,
       edgeTypes: Seq[String] = Nil,
       reverse: Boolean = false
-  ): DataFrame = {
+  ): DataFrame = withAqeOff(edges.sparkSession) {
     val filtered0 = if (edgeTypes.isEmpty) edges else edges.where(col("edge_type").isin(edgeTypes: _*))
     val step =
       if (reverse) filtered0.select(col("dst_key").as("from"), col("src_key").as("to"))
@@ -115,7 +135,7 @@ object Query {
     * the reference's expansion; a full-corpus map at 100 TB is a deliberate
     * big-output query and stays distributed (no driver collect).
     */
-  def repoMap(nodes: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
+  def repoMap(nodes: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = withAqeOff(nodes.sparkSession) {
     val contains = edges
       .where(col("edge_type") === "CONTAINS")
       .select(col("src_key").as("from"), col("dst_key").as("to"))
@@ -161,7 +181,7 @@ object Query {
       startKey: String,
       targetKey: String,
       maxDepth: Int
-  ): DataFrame = {
+  ): DataFrame = withAqeOff(edges.sparkSession) {
     val spark = edges.sparkSession
     import spark.implicits._
     val undirected = edges
@@ -221,7 +241,7 @@ object Query {
       edges: DataFrame,
       iters: Int = 20,
       damping: Double = 0.85
-  ): DataFrame = {
+  ): DataFrame = withAqeOff(nodes.sparkSession) {
     // Materialize loop inputs once, PRE-PARTITIONED on their join keys:
     // localCheckpoint preserves hash partitioning, so every per-iteration
     // join below lines up without an Exchange and the loop pays exactly ONE

@@ -64,6 +64,28 @@ class DatapipeSpec extends SparkSpec {
     info(f"IVF recall@10 = ${recalls.sum / recalls.size}%.3f")
   }
 
+  test("embedding near-dup: pairs are cell-local, a<b, above threshold, and " +
+    "exactly the thresholded subset of the cell-local brute pairs") {
+    val thr = 0.3
+    val pairs = Ann.embeddingNearDupPairs(emb, nCentroids = 4, threshold = thr)
+      .select("cell", "a_id", "b_id", "cos").as[(Long, Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "threshold should keep some cell-local pairs")
+    pairs.foreach { case (_, a, b, c) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(c >= thr, s"pair ($a,$b) below threshold: $c")
+    }
+    // cross-check against an independent cell-local brute computation
+    val assigned = Ann.ivfAssign(emb, 4)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    pairs.foreach { case (cell, a, b, _) =>
+      assert(assigned(a) == cell && assigned(b) == cell, s"pair ($a,$b) not cell-local")
+    }
+    val allCellPairs = Ann.embeddingNearDupPairs(emb, 4, threshold = -1.0)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)].collect()
+    val expect = allCellPairs.filter(_._3 >= thr).map(p => (p._1, p._2)).toSet
+    assert(pairs.map(p => (p._2, p._3)).toSet == expect, "thresholded subset mismatch")
+  }
+
   test("ANN: cosine and dot agree on ranking for the same query when norms are similar") {
     val cos = Ann.bruteTopKCosine(emb, nQueries = 2, k = 5)
     assert(cos.count() == 10)
