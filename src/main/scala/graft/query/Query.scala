@@ -59,7 +59,10 @@ object Query {
     var frontier = visited
     var d = 0
     while (d < depth && !frontier.isEmpty) {
+      // shuffled-hash: build on the (small) frontier, STREAM the
+      // pre-partitioned edge leaf — no per-level sort of |E|
       val next = frontier
+        .hint("shuffle_hash")
         .join(stepC, frontier("node_key") === stepC("from"))
         .select(col("to").as("node_key"))
         .distinct() // on node_key alone (depth is constant this level), so
@@ -187,8 +190,12 @@ object Query {
     val undirected = edges
       .select(col("src_key"), col("dst_key"))
       .unionByName(edges.select(col("dst_key").as("src_key"), col("src_key").as("dst_key")))
-      .distinct() // shuffles on (src,dst); follow with a src_key repartition
+      // ONE shuffle for both dedup and loop partitioning: hash(src_key)
+      // already clusters (src_key, dst_key), so dropDuplicates after the
+      // repartition is partition-local (a separate distinct() would shuffle
+      // the 2|E| relation a second time)
       .repartition(col("src_key"))
+      .dropDuplicates("src_key", "dst_key")
       .lcp() // partitioning survives the checkpoint — the per-level join
     // below never re-shuffles this 2|E| relation again
 
@@ -199,6 +206,7 @@ object Query {
     var d = 0
     while (d < maxDepth && !found && !frontier.isEmpty) {
       val next = frontier
+        .hint("shuffle_hash") // build on the frontier, stream the 2|E| leaf
         .join(undirected, frontier("node_key") === undirected("src_key"))
         .select(col("dst_key").as("node_key"), col("src_key").as("parent"))
         .groupBy("node_key")
