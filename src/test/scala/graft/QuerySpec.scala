@@ -126,6 +126,33 @@ class QuerySpec extends SparkSpec {
     assert(kn2.count() == 5 && ke2.count() == 4)
   }
 
+  test("G14 mockInventory: counts unverified USES per Mock, paginated") {
+    // two mocks with 2 and 1 unverified calls, one with none; a verified
+    // USES edge and a CALLS edge must not count
+    val stubKey = (n: org.apache.spark.sql.Column) =>
+      graft.functions.Keys.nodeKey(lit("Function"), n, lit("unverified"), lit(-1))
+    val mocks = Seq("alpha", "beta", "gamma")
+      .toDF("name")
+      .withColumn("node_type", lit("Mock"))
+      .withColumn("node_key", concat(lit("mock|"), col("name")))
+    val mkEdges = Seq(
+      ("USES", "t1", "alpha", "unverified"),
+      ("USES", "t2", "alpha", "unverified"),
+      ("USES", "t3", "beta", "unverified"),
+      ("USES", "t4", "gamma", "verified"), // wrong strategy: excluded
+      ("CALLS", "t5", "alpha", "unverified") // wrong edge type: excluded
+    ).toDF("edge_type", "src_key", "dst_name", "strategy")
+      .withColumn("dst_key", stubKey(col("dst_name")))
+      .drop("dst_name")
+    val out = Query.mockInventory(mocks, mkEdges, 0, 10)
+      .select("name", "n_calls", "rn").as[(String, Long, Int)].collect().toSeq
+    assert(out == Seq(("alpha", 2L, 1), ("beta", 1L, 2), ("gamma", 0L, 3)))
+    // pagination: offset skips the head deterministically
+    val page = Query.mockInventory(mocks, mkEdges, 1, 1)
+      .select("name").as[String].collect().toSeq
+    assert(page == Seq("beta"))
+  }
+
   test("coverage ratio is consistent with uncalledFunctions") {
     val g = SparkTestSession.graph
     val cov = Query.coverage(g.nodes, g.edges)
