@@ -390,6 +390,25 @@ object SparkEntry {
       streaming.Sessions.windowedCounts(s.read.parquet(s"$dir/events.parquet"))),
     "st_sessionize" -> ((s, dir) =>
       streaming.Sessions.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+    // Streaming KG ingest: the corpus as a file stream, per-turn mention
+    // extraction AS a Structured Streaming query (exactly-once parquet sink
+    // + checkpoint — delta-only per micro-batch), graph materialized from
+    // the accumulated mention store. Output ≡ the batch build over the same
+    // corpus (same oracle as kg_graph_size).
+    "st_graph_ingest" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+      val corpus = s"$base/corpus"
+      // 4 files → 4 micro-batches at maxFilesPerTrigger=1: the stream path
+      // is genuinely exercised, not a single-batch degenerate case
+      Transcripts.fromEvents(s, dir).repartition(4).write.parquet(corpus)
+      streaming.GraphStream.extractAvailable(s, corpus, s"$base/mentions", s"$base/ckpt")
+      val g = GraphBuild.buildFromMentions(
+        s,
+        s.read.parquet(corpus),
+        streaming.GraphStream.mentionStore(s, s"$base/mentions")
+      )
+      GraphOps.graphSize(g.nodes, g.edges)
+    },
     // H4 muted-state restore: flags captured on a pre-cutoff snapshot
     // survive a full rebuild via canonical-key join
     "kg_restore_state" -> { (s, dir) =>
@@ -563,6 +582,21 @@ object SparkEntry {
     "kg_pruned_graph" -> { (s, dir) =>
       val g = graphOf(s, dir)
       val (n, e) = GraphOps.pruneUncalledFunctions(g.nodes, g.edges)
+      GraphOps.graphSize(n, e)
+    },
+    // D20 remove_node (btreemap_graph.rs:708-716): delete ONE node and its
+    // incident edges. The victim is the lexicographically-first Tool node —
+    // deterministic, so the oracle reproduces the pick with min(node_key).
+    // The one-row first() is the point-query contract itself, not a
+    // driver-side loop.
+    "kg_remove_node" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val victim = g.nodes
+        .where(col("node_type") === "Tool")
+        .agg(min("node_key"))
+        .first()
+        .getString(0)
+      val (n, e) = GraphOps.removeNode(g.nodes, g.edges, victim)
       GraphOps.graphSize(n, e)
     },
     // D18 cross-type dedup: stubs lose to operand-owned real functions
@@ -976,6 +1010,11 @@ object SparkEntry {
         FROM embeddings e, q WHERE e.vec_id <> 0
       ) WHERE cos >= 0.2 ORDER BY cos DESC, cand_id LIMIT 20
     """,
+    "st_graph_ingest" -> Oracles.withGraph("""
+      SELECT 'node:' || node_type AS kind, count(*) AS n FROM nodes GROUP BY 1
+      UNION ALL
+      SELECT 'edge:' || edge_type, count(*) FROM edges GROUP BY 1
+    """),
     "kg_restore_state" -> Oracles.withGraph(s"""
       SELECT n.node_key, n.node_type,
              (n.node_key IN (
@@ -1112,6 +1151,16 @@ object SparkEntry {
       SELECT 'node:' || node_type AS kind, count(*) AS n FROM pn2 GROUP BY 1
       UNION ALL
       SELECT 'edge:' || edge_type, count(*) FROM pe2 GROUP BY 1
+    """),
+    "kg_remove_node" -> Oracles.withGraph("""
+      , victim AS (SELECT min(node_key) AS k FROM nodes WHERE node_type = 'Tool')
+      , kn AS (SELECT * FROM nodes WHERE node_key <> (SELECT k FROM victim))
+      , ke AS (SELECT * FROM edges
+               WHERE src_key <> (SELECT k FROM victim)
+                 AND dst_key <> (SELECT k FROM victim))
+      SELECT 'node:' || node_type AS kind, count(*) AS n FROM kn GROUP BY 1
+      UNION ALL
+      SELECT 'edge:' || edge_type, count(*) FROM ke GROUP BY 1
     """),
     "kg_dedup_nodes" -> Oracles.withGraph("""
       SELECT node_key, name, conv_id FROM nodes

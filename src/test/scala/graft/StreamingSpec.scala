@@ -77,6 +77,35 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(microsify(streamed, tcols), microsify(batchClosed, tcols))
   }
 
+  test("streaming KG ingest: exactly-once mention store across restarts + delta-only catch-up") {
+    import graft.extract.Mentions
+    import graft.streaming.GraphStream
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-spec").toString
+    val corpus = s"$base/corpus"
+    val sink = s"$base/mentions"
+    val ckpt = s"$base/ckpt"
+    val t = graft.sources.Transcripts.fromEvents(spark, sf0001)
+    val cut = col("ts") < lit("2024-01-08").cast("timestamp")
+    t.where(cut).repartition(3).write.parquet(corpus)
+
+    // drain 1: three files, one per micro-batch
+    GraphStream.extractAvailable(spark, corpus, sink, ckpt)
+    val afterFirst = spark.read.parquet(sink).count()
+    assert(afterFirst > 0)
+
+    // restart with NOTHING new: the checkpoint must prevent any re-extraction
+    // (exactly-once sink — row count unchanged, no duplicate batches)
+    GraphStream.extractAvailable(spark, corpus, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == afterFirst)
+
+    // late-arriving delta: only the new files' mentions append
+    t.where(!cut).repartition(2).write.mode("append").parquet(corpus)
+    GraphStream.extractAvailable(spark, corpus, sink, ckpt)
+    val store = GraphStream.mentionStore(spark, sink)
+    // accumulated store == one-shot batch extraction over the full corpus
+    assertSameRows(store, Mentions.extract(spark.read.parquet(corpus)))
+  }
+
   test("batch sessionization: gaps split sessions exactly at the threshold") {
     def ts(m: Long) = new Timestamp(m * 60000L)
     val ev = Seq(
