@@ -289,6 +289,12 @@ object SparkEntry {
       val g = graphOf(s, dir)
       Query.repoMap(g.nodes, g.edges, 2)
     },
+    // G7 get_file_map (graph.ts:417-434): suffix-matched Conversation +
+    // depth-1 CONTAINS children, archy render with token counts
+    "kg_file_map" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      Query.fileMap(g.nodes, g.edges, "-20240103")
+    },
     // G6 fidelity (queries.ts:616-759): PER-EDGE-TYPE direction spec —
     // CONTAINS>/CALLS>/HANDLER>/RENDERS> forward, <OPERAND reversed — plus
     // the reference's tail join: Import nodes of every visited conversation
@@ -311,6 +317,20 @@ object SparkEntry {
     },
     // G3 CLI search scoring, top-10 deterministic
     "kg_search" -> ((s, dir) => Query.search(graphOf(s, dir).nodes, "postgres", 10)),
+    // G3 filtered search: all five reference filter families exercised
+    // (node_types, skip_node_types, extensions, include/exclude patterns —
+    // queries.ts:505-532; conv_id plays node.file)
+    "kg_search_filtered" -> ((s, dir) =>
+      Query.searchFiltered(
+        graphOf(s, dir).nodes,
+        "postgres",
+        10,
+        nodeTypes = Seq("Turn", "Function", "IntegrationTest"),
+        skipNodeTypes = Seq("IntegrationTest"),
+        extensions = Seq("3", "9"),
+        includePatterns = Seq("-2024"),
+        excludePatterns = Seq("conv-00001")
+      )),
     // G11 coverage
     "kg_coverage" -> ((s, dir) => {
       val g = graphOf(s, dir); Query.coverage(g.nodes, g.edges)
@@ -901,6 +921,30 @@ object SparkEntry {
       )
       SELECT sort_path, repeat('  ', depth) || node_type || ' ' || name AS render FROM tree
     """),
+    "kg_file_map" -> Oracles.withGraph("""
+      , root AS (
+        SELECT node_key, node_type, name,
+               CASE WHEN trim(coalesce(body,'')) = '' THEN CAST(0 AS BIGINT)
+                    ELSE CAST(len(regexp_split_to_array(trim(coalesce(body,'')), '\s+')) AS BIGINT)
+               END AS tokens
+        FROM nodes
+        WHERE node_type = 'Conversation' AND conv_id LIKE '%-20240103'
+        ORDER BY conv_id LIMIT 1
+      ), tree AS (
+        SELECT node_key, node_type, name, 0 AS depth, name AS sort_path, tokens FROM root
+        UNION ALL
+        SELECT c.node_key, c.node_type, c.name, 1, r.name || '/' || c.name,
+               CASE WHEN trim(coalesce(c.body,'')) = '' THEN CAST(0 AS BIGINT)
+                    ELSE CAST(len(regexp_split_to_array(trim(coalesce(c.body,'')), '\s+')) AS BIGINT)
+               END
+        FROM root r
+        JOIN edges e ON e.edge_type = 'CONTAINS' AND e.src_key = r.node_key
+        JOIN nodes c ON c.node_key = e.dst_key
+      )
+      SELECT sort_path,
+             repeat('  ', depth) || node_type || ' ' || name || ' (' || tokens || ')' AS render
+      FROM tree
+    """),
     "kg_impact" -> Oracles.withGraph(s"""
       , rwalk(node_key, depth) AS (
         SELECT ${Oracles.key4("'Entity'", "'spark'", "''", "-1")}, 0
@@ -920,6 +964,24 @@ object SparkEntry {
           (CASE WHEN lower(body) LIKE '%postgres%' THEN 25 ELSE 0 END) +
           (CASE WHEN lower(conv_id) LIKE '%postgres%' THEN 20 ELSE 0 END) AS INTEGER) AS score
         FROM nodes
+      ) WHERE score > 0
+      ORDER BY score DESC, node_key
+      LIMIT 10
+    """),
+    "kg_search_filtered" -> Oracles.withGraph("""
+      SELECT node_key, node_type, name, score FROM (
+        SELECT node_key, node_type, name, CAST(
+          (CASE WHEN lower(name) = 'postgres' THEN 100 ELSE 0 END) +
+          (CASE WHEN lower(name) LIKE 'postgres%' AND lower(name) <> 'postgres' THEN 70 ELSE 0 END) +
+          (CASE WHEN lower(name) LIKE '%postgres%' AND lower(name) NOT LIKE 'postgres%' THEN 50 ELSE 0 END) +
+          (CASE WHEN lower(body) LIKE '%postgres%' THEN 25 ELSE 0 END) +
+          (CASE WHEN lower(conv_id) LIKE '%postgres%' THEN 20 ELSE 0 END) AS INTEGER) AS score
+        FROM nodes
+        WHERE node_type IN ('Turn', 'Function', 'IntegrationTest')
+          AND node_type NOT IN ('IntegrationTest')
+          AND conv_id <> '' AND (conv_id LIKE '%3' OR conv_id LIKE '%9')
+          AND conv_id LIKE '%-2024%'
+          AND NOT (conv_id LIKE '%conv-00001%')
       ) WHERE score > 0
       ORDER BY score DESC, node_key
       LIMIT 10

@@ -173,6 +173,42 @@ object Query {
       concat(expr("repeat('  ', depth)"), col("node_type"), lit(" "), col("name")).as("render"))
   }
 
+  /** G7 get_file_map (mcp/src/graph/graph.ts:417-434): suffix lookup of one
+    * File — Conversation in the transcript domain — via `get_file_ends_with`
+    * (neo4j.ts:279-289, `f.file ENDS WITH $file_name`), then its depth-1
+    * CONTAINS subtree rendered archy-style WITH per-node token counts
+    * (buildTree's withTokens arm). The reference takes `records[0]` of the
+    * suffix match; distributed "first record" is nondeterministic, so we pin
+    * min(conv_id) — same single-row contract, deterministic everywhere.
+    * Shape at 100 TB: one pushdown-friendly suffix scan → 1-row broadcast →
+    * one CONTAINS probe; no iteration, no driver collect.
+    */
+  def fileMap(nodes: DataFrame, edges: DataFrame, fileEnd: String): DataFrame = {
+    val tokenCount =
+      when(length(trim(coalesce(col("body"), lit("")))) === 0, lit(0L))
+        .otherwise(
+          size(split(trim(coalesce(col("body"), lit(""))), "\\s+")).cast("long"))
+    val root = nodes
+      .where(col("node_type") === "Conversation" && col("conv_id").endsWith(fileEnd))
+      .orderBy("conv_id")
+      .limit(1)
+      .select(col("node_key"), col("node_type"), col("name"),
+        lit(0).as("depth"), col("name").as("sort_path"), tokenCount.as("tokens"))
+    val kids = broadcast(root.select(col("node_key").as("from"), col("sort_path").as("parent_path")))
+      .join(
+        edges.where(col("edge_type") === "CONTAINS")
+          .select(col("src_key").as("from"), col("dst_key").as("to")),
+        Seq("from"))
+      .join(nodes, col("to") === nodes("node_key"))
+      .select(col("node_key"), col("node_type"), col("name"), lit(1).as("depth"),
+        concat(col("parent_path"), lit("/"), col("name")).as("sort_path"),
+        tokenCount.as("tokens"))
+    root.unionByName(kids).select(
+      col("sort_path"),
+      concat(expr("repeat('  ', depth)"), col("node_type"), lit(" "), col("name"),
+        lit(" ("), col("tokens"), lit(")")).as("render"))
+  }
+
   /** G9 shortest_path WITH path reconstruction (queries.ts:820-849 returns
     * the actual node sequence). BFS with deterministic min-parent tracking;
     * the ≤ maxDepth backtrack is a driver loop of single-row lookups — a
@@ -337,6 +373,47 @@ object Query {
       .select("node_key", "node_type", "name", "score")
       .orderBy(col("score").desc, col("node_key"))
       .limit(limit)
+  }
+
+  /** G3 filtered search (mcp/src/graph/queries.ts:505-532 NODE_TYPES clause):
+    * the reference's fulltext search takes five optional filters applied
+    * before the top-k cut — node-type include list, node-type skip list,
+    * file-extension ends-with list, file include-pattern contains list, and
+    * file exclude-pattern contains list. `conv_id` plays the reference's
+    * `node.file` role in the transcript domain; an empty conv_id is this
+    * schema's "no file", mirroring the reference's `node.file IS NULL` arm
+    * (fails extensions/include, passes exclude). Empty filter list = filter
+    * off, exactly as the Cypher CASE arms. All predicates are literal
+    * conjunctions — pure codegen'd scan filters, no joins, so at 100 TB this
+    * is one pushdown-friendly pass + TakeOrdered(limit).
+    */
+  def searchFiltered(
+      nodes: DataFrame,
+      term: String,
+      limit: Int,
+      nodeTypes: Seq[String] = Nil,
+      skipNodeTypes: Seq[String] = Nil,
+      extensions: Seq[String] = Nil,
+      includePatterns: Seq[String] = Nil,
+      excludePatterns: Seq[String] = Nil
+  ): DataFrame = {
+    val noFile = col("conv_id").isNull || col("conv_id") === ""
+    def anyOf(preds: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      preds.reduce(_ || _)
+    val typeOk =
+      if (nodeTypes.isEmpty) lit(true) else col("node_type").isin(nodeTypes: _*)
+    val skipOk =
+      if (skipNodeTypes.isEmpty) lit(true) else !col("node_type").isin(skipNodeTypes: _*)
+    val extOk =
+      if (extensions.isEmpty) lit(true)
+      else !noFile && anyOf(extensions.map(e => col("conv_id").endsWith(lit(e))))
+    val inclOk =
+      if (includePatterns.isEmpty) lit(true)
+      else !noFile && anyOf(includePatterns.map(p => col("conv_id").contains(lit(p))))
+    val exclOk =
+      if (excludePatterns.isEmpty) lit(true)
+      else noFile || !anyOf(excludePatterns.map(p => col("conv_id").contains(lit(p))))
+    search(nodes.where(typeOk && skipOk && extOk && inclOk && exclOk), term, limit)
   }
 
   /** G5 hybrid RRF fusion (mcp/src/graph/graph.ts:152-235): each source is a

@@ -153,6 +153,53 @@ class QuerySpec extends SparkSpec {
     assert(page == Seq("beta"))
   }
 
+  test("G3 searchFiltered: the five reference filter families compose") {
+    val sn = Seq(
+      // node_key, node_type, name, body, conv_id
+      ("k1", "Turn", "postgres", "", "c-2024.3"),
+      ("k2", "Turn", "postgres", "", "c-2024.5"), // ext filter drops (no 3/9 suffix)
+      ("k3", "Function", "postgres", "", "c-2024.9"),
+      ("k4", "IntegrationTest", "postgres", "", "c-2024.3"), // skip list drops
+      ("k5", "Turn", "postgres", "", "x.3"), // include-pattern drops (no -2024)
+      ("k6", "Turn", "postgres", "", "bad-2024.3"), // exclude-pattern drops
+      ("k7", "Page", "postgres", "", "c-2024.3"), // type list drops
+      ("k8", "Turn", "nomatch", "", "c-2024.3") // score 0 drops
+    ).toDF("node_key", "node_type", "name", "body", "conv_id")
+    val out = Query.searchFiltered(sn, "postgres", 10,
+      nodeTypes = Seq("Turn", "Function", "IntegrationTest"),
+      skipNodeTypes = Seq("IntegrationTest"),
+      extensions = Seq("3", "9"),
+      includePatterns = Seq("-2024"),
+      excludePatterns = Seq("bad")
+    ).select("node_key").as[String].collect().toSet
+    assert(out == Set("k1", "k3"))
+    // all-empty filters = plain search
+    val plain = Query.searchFiltered(sn, "postgres", 10).count()
+    assert(plain == Query.search(sn, "postgres", 10).count())
+  }
+
+  test("G7 fileMap: min-conv suffix match, depth-1 render with token counts") {
+    val fn = Seq(
+      ("cA", "Conversation", "convA", null.asInstanceOf[String], "conv-02-x"),
+      ("cB", "Conversation", "convB", null.asInstanceOf[String], "conv-01-x"), // min conv_id wins
+      ("t1", "Turn", "t1", "three word body", "conv-01-x"),
+      ("t2", "Turn", "t2", "  ", "conv-01-x"), // blank body -> 0 tokens
+      ("t3", "Turn", "t3", "other conv", "conv-02-x")
+    ).toDF("node_key", "node_type", "name", "body", "conv_id")
+    val fe = Seq(
+      ("CONTAINS", "cB", "t1"), ("CONTAINS", "cB", "t2"), ("CONTAINS", "cA", "t3")
+    ).toDF("edge_type", "src_key", "dst_key")
+    val out = Query.fileMap(fn, fe, "-x")
+      .orderBy("sort_path").as[(String, String)].collect().toSeq
+    assert(out == Seq(
+      ("convB", "Conversation convB (0)"),
+      ("convB/t1", "  Turn t1 (3)"),
+      ("convB/t2", "  Turn t2 (0)")
+    ))
+    // no match -> empty, not an error
+    assert(Query.fileMap(fn, fe, "-nope").count() == 0)
+  }
+
   test("coverage ratio is consistent with uncalledFunctions") {
     val g = SparkTestSession.graph
     val cov = Query.coverage(g.nodes, g.edges)
