@@ -529,7 +529,13 @@ WHERE t.node_key = $targetKeyExpr"""
     * orders drift ~1e-14 relative; both sides round to 6 decimals, so the
     * hash compares the identical decimal.
     */
-  val pagerankCte: String = {
+  val pagerankCte: String = pagerankChain + "\nSELECT node_key, round(rank, 5) AS rank FROM pr20"
+
+  /** The pagerank CTE chain WITHOUT the final SELECT — composable into
+    * queries that join the converged `pr20` table (e.g. pagerank-sorted
+    * search). Same chain [[pagerankCte]] selects from.
+    */
+  lazy val pagerankChain: String = {
     val iters = (1 to 20).map { k =>
       s"""
 , pr$k AS MATERIALIZED (
@@ -557,7 +563,6 @@ WHERE t.node_key = $targetKeyExpr"""
 , pdangle AS MATERIALIZED (SELECT node_key FROM pn WHERE node_key NOT IN (SELECT src_key FROM pe))
 , pcount AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pn)
 , pr0 AS MATERIALIZED (SELECT node_key, CAST(1.0 AS DOUBLE) AS rank FROM pn)
-$iters
-SELECT node_key, round(rank, 5) AS rank FROM pr20"""
+$iters"""
   }
 }

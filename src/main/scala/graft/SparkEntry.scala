@@ -176,6 +176,20 @@ object SparkEntry {
       .nodeVectorSearchOver(nodeEmbOf(s, dir), postgresEntityKey(s, dir), 0.0, 10)
       .withColumnRenamed("cos", "score")
 
+  /** The G10 pagerank projection (Request/Endpoint/Function nodes over
+    * CALLS/HANDLER edges) → converged (node_key, rank). Shared by
+    * kg_pagerank and the pagerank-sorted search.
+    */
+  private def pagerankRanks(g: GraphBuild.Graph): DataFrame = {
+    val proj = g.nodes.where(col("node_type").isin("Request", "Endpoint", "Function"))
+    val projKeys = proj.select("node_key")
+    val projEdges = g.edges
+      .where(col("edge_type").isin("CALLS", "HANDLER"))
+      .join(projKeys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
+      .join(projKeys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
+    Query.pagerank(proj, projEdges)
+  }
+
   private[graft] def prime(s: SparkSession, dir: String): Unit = {
     mentionsOf(s, dir)
     graphOf(s, dir)
@@ -331,6 +345,16 @@ object SparkEntry {
         includePatterns = Seq("-2024"),
         excludePatterns = Seq("conv-00001")
       )),
+    // Rules-files collector (graph.ts:250-263 / queries.ts:851-884): the
+    // name-suffix arm picks each conversation's opening turn (turn-0) and
+    // the path-contains arm one user's conversations; non-empty bodies
+    // rendered File:/Content: with the total as a scalar-broadcast column
+    "kg_rules_files" -> ((s, dir) =>
+      Query.rulesFiles(
+        graphOf(s, dir).nodes,
+        nameSuffixes = Seq("-0"),
+        pathContains = Seq("-000042-")
+      )),
     // G11 coverage
     "kg_coverage" -> ((s, dir) => {
       val g = graphOf(s, dir); Query.coverage(g.nodes, g.edges)
@@ -338,14 +362,14 @@ object SparkEntry {
     // G10 pagerank over the projected Request->Endpoint->Function graph
     // (oracle: the 20-iteration loop unrolled as chained CTEs)
     "kg_pagerank" -> { (s, dir) =>
+      pagerankRanks(graphOf(s, dir)).withColumn("rank", round(col("rank"), 5))
+    },
+    // G3 pagerank-sorted search (graph.ts:80-86,142 sortBy="pagerank"):
+    // relevance top-10 for "handler" (Function hits carry pagerank; the
+    // reference coalesces missing pagerank to 0), re-sorted by rank
+    "kg_search_pagerank" -> { (s, dir) =>
       val g = graphOf(s, dir)
-      val proj = g.nodes.where(col("node_type").isin("Request", "Endpoint", "Function"))
-      val projKeys = proj.select("node_key")
-      val projEdges = g.edges
-        .where(col("edge_type").isin("CALLS", "HANDLER"))
-        .join(projKeys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
-        .join(projKeys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
-      Query.pagerank(proj, projEdges).withColumn("rank", round(col("rank"), 5))
+      Query.searchByPagerank(g.nodes, "handler", 10, pagerankRanks(g))
     },
     // G9 shortest_path: BFS distance Entity postgres -> Entity kafka
     "kg_shortest_path" -> { (s, dir) =>
@@ -985,6 +1009,36 @@ object SparkEntry {
       ) WHERE score > 0
       ORDER BY score DESC, node_key
       LIMIT 10
+    """),
+    "kg_search_pagerank" -> Oracles.withGraph(Oracles.pagerankChain + """
+      , srch_hits AS (
+        SELECT node_key, node_type, name, score FROM (
+          SELECT node_key, node_type, name, CAST(
+            (CASE WHEN lower(name) = 'handler' THEN 100 ELSE 0 END) +
+            (CASE WHEN lower(name) LIKE 'handler%' AND lower(name) <> 'handler' THEN 70 ELSE 0 END) +
+            (CASE WHEN lower(name) LIKE '%handler%' AND lower(name) NOT LIKE 'handler%' THEN 50 ELSE 0 END) +
+            (CASE WHEN lower(body) LIKE '%handler%' THEN 25 ELSE 0 END) +
+            (CASE WHEN lower(conv_id) LIKE '%handler%' THEN 20 ELSE 0 END) AS INTEGER) AS score
+          FROM nodes
+        ) WHERE score > 0
+        ORDER BY score DESC, node_key
+        LIMIT 10
+      )
+      SELECT h.node_key, h.node_type, h.name, h.score,
+             round(coalesce(pr.rank, CAST(0.0 AS DOUBLE)), 5) AS pagerank
+      FROM srch_hits h LEFT JOIN pr20 pr ON pr.node_key = h.node_key
+    """),
+    "kg_rules_files" -> Oracles.withGraph("""
+      , rf AS (
+        SELECT node_key, conv_id, name, body FROM nodes
+        WHERE node_type = 'Turn'
+          AND (name LIKE '%-0' OR conv_id LIKE '%-000042-%')
+          AND trim(coalesce(body, '')) <> ''
+      )
+      SELECT node_key, conv_id, name,
+             'File: ' || name || chr(10) || ' Content: ' || chr(10) || ' ' || body || chr(10) AS render,
+             (SELECT CAST(count(*) AS BIGINT) FROM rf) AS files_found
+      FROM rf
     """),
     "kg_shortest_path" -> Oracles.withGraph(s"""
       , und AS (

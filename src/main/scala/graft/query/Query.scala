@@ -416,6 +416,67 @@ object Query {
     search(nodes.where(typeOk && skipOk && extOk && inclOk && exclOk), term, limit)
   }
 
+  /** G3 pagerank-sorted search (mcp/src/graph/graph.ts:80-86,142 — the
+    * `searchWithProvenance` sortBy="pagerank" arm): select top-k by relevance
+    * first, THEN re-sort those k rows by the node's pagerank property,
+    * `Number(properties.pagerank || 0)` — nodes outside the ranked projection
+    * sort as 0. `ranks` is the converged pagerank table (node_key, rank).
+    * Ties (the reference's stable JS sort keeps relevance order) break by
+    * (score desc, node_key). Shape at 100 TB: the hits side is ≤ limit rows,
+    * so the rank lookup is a left-semi prune of the big ranks table down to
+    * ≤ limit rows, then a broadcast join — never a shuffle of either input.
+    */
+  def searchByPagerank(
+      nodes: DataFrame,
+      term: String,
+      limit: Int,
+      ranks: DataFrame): DataFrame = {
+    val hits = search(nodes, term, limit)
+    val hitRanks = ranks
+      .join(broadcast(hits.select("node_key")), Seq("node_key"), "left_semi")
+    hits
+      .join(broadcast(hitRanks), Seq("node_key"), "left")
+      .withColumn("pagerank", round(coalesce(col("rank"), lit(0.0)), 5))
+      .drop("rank")
+      .orderBy(col("pagerank").desc, col("score").desc, col("node_key"))
+  }
+
+  /** Rules-files collector (mcp/src/graph/graph.ts:250-263 over
+    * queries.ts:851-884 RULES_FILES_QUERY): the reference gathers agent
+    * instruction documents by a disjunction of `name ENDS WITH` arms,
+    * `file CONTAINS` arms, and one lowercased ends-with arm (readme.md),
+    * drops empty-body rows, and returns {files_found, snippets} with each
+    * file rendered `File: <name>\n Content: \n <body>\n`. Transcript domain:
+    * Turn nodes carry the bodies; `conv_id` plays `f.file`. We emit one row
+    * per matched document (render precomputed) plus the total as a column —
+    * the reference's single-string join is presentation-layer, kept
+    * distributed here exactly like the repo-map render. The total comes from
+    * a 1-row crossJoin (scalar broadcast), not an unpartitioned window, so
+    * the count never single-partitions a large match set.
+    */
+  def rulesFiles(
+      nodes: DataFrame,
+      nameSuffixes: Seq[String],
+      pathContains: Seq[String],
+      lowerNameSuffixes: Seq[String] = Nil): DataFrame = {
+    val arms: Seq[org.apache.spark.sql.Column] =
+      nameSuffixes.map(s => col("name").endsWith(lit(s))) ++
+        pathContains.map(p => col("conv_id").contains(lit(p))) ++
+        lowerNameSuffixes.map(s => lower(col("name")).endsWith(lit(s)))
+    val rules = nodes
+      .where(
+        col("node_type") === "Turn" &&
+          arms.reduce(_ || _) &&
+          length(trim(coalesce(col("body"), lit("")))) > 0)
+      .select(
+        col("node_key"),
+        col("conv_id"),
+        col("name"),
+        concat(lit("File: "), col("name"), lit("\n Content: \n "), col("body"), lit("\n"))
+          .as("render"))
+    rules.crossJoin(rules.agg(count(lit(1)).cast("long").as("files_found")))
+  }
+
   /** G5 hybrid RRF fusion (mcp/src/graph/graph.ts:152-235): each source is a
     * ranked (node_key, score) list with a boost (vector hits boost ×1.5 in
     * the reference); per source, rank by (score desc, node_key) and

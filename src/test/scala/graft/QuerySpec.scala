@@ -200,6 +200,38 @@ class QuerySpec extends SparkSpec {
     assert(Query.fileMap(fn, fe, "-nope").count() == 0)
   }
 
+  test("G3 searchByPagerank: relevance top-k first, then pagerank re-sort") {
+    val sn = Seq(
+      ("k1", "Function", "x_handler", "", ""), // contains -> 50
+      ("k2", "Function", "y_handler", "", ""), // contains -> 50
+      ("k3", "Function", "handler", "", ""), // exact -> 100
+      ("k4", "Turn", "t", "calls a handler", ""), // body -> 25, cut by limit 3
+      ("k5", "Page", "nope", "", "") // score 0
+    ).toDF("node_key", "node_type", "name", "body", "conv_id")
+    val ranks = Seq(("k1", 0.9), ("k2", 2.5), ("k9", 7.0)).toDF("node_key", "rank")
+    val out = Query.searchByPagerank(sn, "handler", 3, ranks)
+      .select("node_key", "pagerank").as[(String, Double)].collect().toSeq
+    // k3 (score 100) has no rank -> 0; k2 rank 2.5 sorts first, then k1 0.9
+    assert(out == Seq(("k2", 2.5), ("k1", 0.9), ("k3", 0.0)))
+  }
+
+  test("rulesFiles: pattern disjunction, empty-body drop, scalar total") {
+    val sn = Seq(
+      ("k1", "Turn", "turn-0", "rules body", "conv-1"), // name suffix arm
+      ("k2", "Turn", "turn-3", "other", "c-ai-x"), // path contains arm
+      ("k3", "Turn", "turn-0", "  ", "conv-2"), // blank body dropped
+      ("k4", "Turn", "README.MD", "readme", "conv-3"), // lower suffix arm
+      ("k5", "Function", "turn-0", "f", "conv-4"), // not a Turn
+      ("k6", "Turn", "turn-5", "no match", "conv-5")
+    ).toDF("node_key", "node_type", "name", "body", "conv_id")
+    val out = Query.rulesFiles(sn, Seq("-0"), Seq("-ai-"), Seq("readme.md"))
+      .select("node_key", "render", "files_found")
+      .as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq("k1", "k2", "k4"))
+    assert(out.forall(_._3 == 3L))
+    assert(out.head._2 == "File: turn-0\n Content: \n rules body\n")
+  }
+
   test("coverage ratio is consistent with uncalledFunctions") {
     val g = SparkTestSession.graph
     val cov = Query.coverage(g.nodes, g.edges)
