@@ -662,6 +662,11 @@ object SparkEntry {
       val (n, e) = GraphOps.extendGraph(g.nodes, g.edges, n2, e2)
       GraphOps.graphSize(n, e)
     },
+    // Ego read (queries.ts:239-260,450-454): seed + 1-hop + induced edges
+    "kg_node_related" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      Query.nodeWithRelated(g.nodes, g.edges)
+    },
     // A8/D23 analysis listing: the full sorted key set
     "kg_graph_keys" -> ((s, dir) => graphOf(s, dir).nodes.select("node_key")),
     // G15 scan family: returned-value extraction from tool turns
@@ -1296,6 +1301,34 @@ object SparkEntry {
       SELECT 'node:' || node_type AS kind, count(*) AS n FROM nodes GROUP BY 1
       UNION ALL
       SELECT 'edge:' || edge_type, count(*) FROM edges GROUP BY 1
+    """),
+    "kg_node_related" -> Oracles.withGraph("""
+      , em AS MATERIALIZED (SELECT edge_type, src_key, dst_key FROM edges)
+      , deg AS (
+        SELECT node_key, count(*) AS deg FROM (
+          SELECT src_key AS node_key FROM em
+          UNION ALL SELECT dst_key FROM em
+        ) GROUP BY 1
+      ), seed AS (
+        SELECT node_key FROM deg ORDER BY deg DESC, node_key LIMIT 1
+      ), ego AS (
+        SELECT node_key FROM seed
+        UNION
+        SELECT e.dst_key FROM em e JOIN seed s ON e.src_key = s.node_key
+        UNION
+        SELECT e.src_key FROM em e JOIN seed s ON e.dst_key = s.node_key
+      )
+      SELECT 'node' AS kind, n.node_key, n.node_type, n.name,
+             CAST(NULL AS VARCHAR) AS edge_type,
+             CAST(NULL AS VARCHAR) AS src_key,
+             CAST(NULL AS VARCHAR) AS dst_key
+      FROM nodes n JOIN ego USING (node_key)
+      UNION ALL
+      SELECT 'edge', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS VARCHAR), e.edge_type, e.src_key, e.dst_key
+      FROM em e
+      JOIN ego a ON e.src_key = a.node_key
+      JOIN ego b ON e.dst_key = b.node_key
     """),
     "kg_graph_keys" -> Oracles.withGraph("SELECT node_key FROM nodes"),
     "kg_caps_scan" -> O("""

@@ -477,6 +477,58 @@ object Query {
     rules.crossJoin(rules.agg(count(lit(1)).cast("long").as("files_found")))
   }
 
+  /** Ego-graph read (mcp/src/graph/queries.ts:239-260
+    * GET_NODE_WITH_RELATED_QUERY + :450-454 EDGES_BETWEEN_NODE_KEYS_QUERY):
+    * the reference collects a seed node, its 1-hop neighbors in EITHER
+    * direction, then all edges whose BOTH endpoints fall in the collected
+    * set (the induced subgraph). Output is one row per element: kind='node'
+    * rows carry (node_key, node_type, name), kind='edge' rows carry
+    * (edge_type, src_key, dst_key).
+    *
+    * Seed: the reference takes $ref_id from the caller; here the seed is
+    * chosen deterministically as the highest-degree node (ties by key) so
+    * the query is self-contained and exercises the worst-case hub ego set.
+    *
+    * Shape at 100 TB: one shuffle (the degree groupBy — same cost class as
+    * kg_degrees), then the seed row and the ego key set are broadcast; the
+    * neighbor collection and the induced-edge filter are broadcast
+    * semi-joins against the big edge table — no edge-table shuffle, no
+    * collect. A hub's ego set is bounded by its degree, far under the
+    * broadcast threshold for any real graph.
+    */
+  def nodeWithRelated(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val seed = edges.select(col("src_key").as("node_key"))
+      .unionByName(edges.select(col("dst_key").as("node_key")))
+      .groupBy("node_key").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node_key"))
+      .limit(1)
+      .select("node_key")
+    val out = broadcast(seed.withColumnRenamed("node_key", "src_key"))
+    val in = broadcast(seed.withColumnRenamed("node_key", "dst_key"))
+    val egoKeys = seed
+      .unionByName(edges.join(out, Seq("src_key")).select(col("dst_key").as("node_key")))
+      .unionByName(edges.join(in, Seq("dst_key")).select(col("src_key").as("node_key")))
+      .distinct()
+    val nodeRows = nodes
+      .join(broadcast(egoKeys), Seq("node_key"), "left_semi")
+      .select(
+        lit("node").as("kind"),
+        col("node_key"), col("node_type"), col("name"),
+        lit(null).cast("string").as("edge_type"),
+        lit(null).cast("string").as("src_key"),
+        lit(null).cast("string").as("dst_key"))
+    val edgeRows = edges
+      .join(broadcast(egoKeys.withColumnRenamed("node_key", "src_key")), Seq("src_key"), "left_semi")
+      .join(broadcast(egoKeys.withColumnRenamed("node_key", "dst_key")), Seq("dst_key"), "left_semi")
+      .select(
+        lit("edge").as("kind"),
+        lit(null).cast("string").as("node_key"),
+        lit(null).cast("string").as("node_type"),
+        lit(null).cast("string").as("name"),
+        col("edge_type"), col("src_key"), col("dst_key"))
+    nodeRows.unionByName(edgeRows)
+  }
+
   /** G5 hybrid RRF fusion (mcp/src/graph/graph.ts:152-235): each source is a
     * ranked (node_key, score) list with a boost (vector hits boost ×1.5 in
     * the reference); per source, rank by (score desc, node_key) and

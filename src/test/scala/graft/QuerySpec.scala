@@ -232,6 +232,23 @@ class QuerySpec extends SparkSpec {
     assert(out.head._2 == "File: turn-0\n Content: \n rules body\n")
   }
 
+  test("nodeWithRelated: hub seed, 1-hop ego set, induced edges only") {
+    // degrees: a=2 b=2 c=2 d=1 e=1 — tie broken by key asc → seed "a";
+    // ego = {a} ∪ nbrs(a) = {a,b,e}; induced = a→b, a→e (b→c drops: c ∉ ego)
+    val nodes = Seq(
+      ("a", "Function", "fa"), ("b", "Function", "fb"), ("c", "Function", "fc"),
+      ("d", "Function", "fd"), ("e", "Turn", "te")
+    ).toDF("node_key", "node_type", "name")
+    val out = Query.nodeWithRelated(nodes, edges)
+    val nodeKeys = out.where(col("kind") === "node")
+      .select("node_key").as[String].collect().toSet
+    assert(nodeKeys == Set("a", "b", "e"))
+    val edgePairs = out.where(col("kind") === "edge")
+      .select("edge_type", "src_key", "dst_key")
+      .as[(String, String, String)].collect().toSet
+    assert(edgePairs == Set(("CALLS", "a", "b"), ("CONTAINS", "a", "e")))
+  }
+
   test("coverage ratio is consistent with uncalledFunctions") {
     val g = SparkTestSession.graph
     val cov = Query.coverage(g.nodes, g.edges)
