@@ -359,6 +359,12 @@ object SparkEntry {
     "kg_coverage" -> ((s, dir) => {
       val g = graphOf(s, dir); Query.coverage(g.nodes, g.edges)
     }),
+    // G11 per-kind coverage tiers + mock stat (coverage/mod.rs:60-126):
+    // unit/integration cover Functions, e2e covers Pages; line stats from
+    // the defining Turn's body
+    "kg_coverage_kinds" -> ((s, dir) => {
+      val g = graphOf(s, dir); Query.coverageByKind(g.nodes, g.edges)
+    }),
     // G10 pagerank over the projected Request->Endpoint->Function graph
     // (oracle: the 20-iteration loop unrolled as chained CTEs)
     "kg_pagerank" -> { (s, dir) =>
@@ -554,6 +560,14 @@ object SparkEntry {
       t.select("conv_id", "turn_idx", "text")
         .join(broadcast(eps), instr(col("text"), concat(col("verb"), lit(" "), col("path"))) > 0)
         .select("conv_id", "turn_idx", "verb", "path")
+    },
+    // E4 INDIRECT test linking (linker.rs:96-134): test -CALLS-> helper
+    // (-CALLS-> nested helper) -> request (CALLS edge or NESTED_IN scope) ->
+    // endpoint index on (normalized path, verb); rows are the reference's
+    // indirect_test/test_helper endpoint annotations
+    "kg_link_tests_indirect" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      PathNorm.linkTestsIndirect(g.nodes, g.edges)
     },
     // E6 link_e2e_tests analog (linker.rs:243-314): ids extracted on both
     // sides, equi-joined against the broadcast endpoint-id dimension
@@ -1197,6 +1211,80 @@ object SparkEntry {
                            AND e.dst_key = n.node_key)) AS test_covered_functions
       )
     """),
+    "kg_coverage_kinds" -> Oracles.withGraph("""
+      , nmat AS MATERIALIZED (
+          SELECT node_type, node_key, conv_id, turn_idx, body FROM nodes)
+      , emat AS MATERIALIZED (
+          SELECT edge_type, src_key, dst_key FROM edges)
+      , calls_k AS MATERIALIZED (
+          SELECT src_key, dst_key FROM emat WHERE edge_type = 'CALLS')
+      , turn_lines AS (
+          SELECT conv_id, turn_idx,
+                 CAST(len(string_split(body, chr(10))) AS BIGINT) AS lines
+          FROM nmat WHERE node_type = 'Turn')
+      , fns_l AS MATERIALIZED (
+          SELECT f.node_key, coalesce(t.lines, 0) AS lines
+          FROM (SELECT node_key, conv_id, turn_idx FROM nmat
+                WHERE node_type = 'Function') f
+          LEFT JOIN turn_lines t
+            ON t.conv_id = f.conv_id AND t.turn_idx = f.turn_idx)
+      , pages_l AS (
+          SELECT node_key, CAST(0 AS BIGINT) AS lines FROM nmat
+          WHERE node_type = 'Page')
+      , ut_ck AS (SELECT DISTINCT c.dst_key FROM calls_k c
+                  JOIN nmat t ON t.node_key = c.src_key AND t.node_type = 'UnitTest')
+      , it_ck AS (SELECT DISTINCT c.dst_key FROM calls_k c
+                  JOIN nmat t ON t.node_key = c.src_key AND t.node_type = 'IntegrationTest')
+      , e2_ck AS (SELECT DISTINCT c.dst_key FROM calls_k c
+                  JOIN nmat t ON t.node_key = c.src_key AND t.node_type = 'E2etest')
+      , mocks_n AS (SELECT node_key FROM nmat WHERE node_type = 'Mock')
+      , test_touched AS (
+          SELECT DISTINCT e.dst_key FROM emat e
+          JOIN nmat s ON s.node_key = e.src_key
+            AND s.node_type IN ('UnitTest','IntegrationTest','E2etest')
+          WHERE e.edge_type IN ('CALLS','USES'))
+      , mocked_n AS (
+          SELECT DISTINCT o.src_key FROM emat o
+          JOIN mocks_n m ON m.node_key = o.src_key
+          JOIN test_touched t ON t.dst_key = o.dst_key
+          WHERE o.edge_type = 'OF')
+      , stats AS (
+          SELECT 'unit_tests' AS kind,
+            (SELECT count(*) FROM fns_l) AS total,
+            (SELECT count(*) FROM nmat WHERE node_type = 'UnitTest') AS total_tests,
+            (SELECT count(*) FROM fns_l WHERE node_key IN (SELECT dst_key FROM ut_ck)) AS covered,
+            (SELECT CAST(coalesce(sum(lines), 0) AS BIGINT) FROM fns_l) AS total_lines,
+            (SELECT CAST(coalesce(sum(lines), 0) AS BIGINT) FROM fns_l
+             WHERE node_key IN (SELECT dst_key FROM ut_ck)) AS covered_lines
+          UNION ALL
+          SELECT 'integration_tests',
+            (SELECT count(*) FROM fns_l),
+            (SELECT count(*) FROM nmat WHERE node_type = 'IntegrationTest'),
+            (SELECT count(*) FROM fns_l WHERE node_key IN (SELECT dst_key FROM it_ck)),
+            (SELECT CAST(coalesce(sum(lines), 0) AS BIGINT) FROM fns_l),
+            (SELECT CAST(coalesce(sum(lines), 0) AS BIGINT) FROM fns_l
+             WHERE node_key IN (SELECT dst_key FROM it_ck))
+          UNION ALL
+          SELECT 'e2e_tests',
+            (SELECT count(*) FROM pages_l),
+            (SELECT count(*) FROM nmat WHERE node_type = 'E2etest'),
+            (SELECT count(*) FROM pages_l WHERE node_key IN (SELECT dst_key FROM e2_ck)),
+            CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT 'mocks',
+            (SELECT count(*) FROM mocks_n),
+            CAST(0 AS BIGINT),
+            (SELECT count(*) FROM mocked_n),
+            CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      )
+      SELECT kind, total, total_tests, covered,
+             round(CASE WHEN total = 0 THEN 0.0
+                        ELSE covered * 100.0 / total END, 2) AS percent,
+             total_lines, covered_lines,
+             round(CASE WHEN total_lines = 0 THEN 0.0
+                        ELSE covered_lines * 100.0 / total_lines END, 2) AS line_percent
+      FROM stats
+    """),
     "kg_top_level_requests" -> O("""
       SELECT conv_id, turn_idx, replace(path, '{id}', '$' || '{id}') AS name
       FROM enriched r WHERE role = 'assistant'
@@ -1209,6 +1297,51 @@ object SparkEntry {
       FROM transcripts t
       JOIN (SELECT DISTINCT verb, path FROM enriched WHERE role = 'tool') e
         ON instr(t.text, e.verb || ' ' || e.path) > 0
+    """),
+    "kg_link_tests_indirect" -> Oracles.withGraph("""
+      , calls_e AS MATERIALIZED (
+          SELECT src_key, dst_key FROM edges WHERE edge_type = 'CALLS')
+      , itests AS (
+          SELECT node_key, name FROM nodes WHERE node_type = 'IntegrationTest')
+      , fns AS (
+          SELECT node_key, name FROM nodes WHERE node_type = 'Function')
+      , helpers AS (
+          SELECT t.name AS indirect_test, f.node_key AS fn_key,
+                 f.name AS test_helper
+          FROM itests t
+          JOIN calls_e c ON c.src_key = t.node_key
+          JOIN fns f ON f.node_key = c.dst_key)
+      , reach AS (
+          SELECT DISTINCT indirect_test, fn_key, test_helper FROM (
+            SELECT indirect_test, fn_key, test_helper FROM helpers
+            UNION ALL
+            SELECT h.indirect_test, f2.node_key, h.test_helper
+            FROM helpers h
+            JOIN calls_e c ON c.src_key = h.fn_key
+            JOIN fns f2 ON f2.node_key = c.dst_key))
+      , reqs AS (
+          SELECT node_key AS req_key,
+                 regexp_replace(regexp_replace(name, '/\$\{[^}]*\}$', '/:param'),
+                                '/[0-9]+$', '/:param') AS endpoint,
+                 upper(regexp_extract(meta_kv, 'verb=([A-Z]+)', 1)) AS verb
+          FROM nodes WHERE node_type = 'Request')
+      , treqs AS (
+          SELECT r.indirect_test, r.test_helper, q.endpoint, q.verb
+          FROM reach r
+          JOIN calls_e c ON c.src_key = r.fn_key
+          JOIN reqs q ON q.req_key = c.dst_key
+          UNION ALL
+          SELECT r.indirect_test, r.test_helper, q.endpoint, q.verb
+          FROM reach r
+          JOIN (SELECT src_key, dst_key FROM edges
+                WHERE edge_type = 'NESTED_IN') n ON n.dst_key = r.fn_key
+          JOIN reqs q ON q.req_key = n.src_key)
+      , eps AS (
+          SELECT DISTINCT name AS endpoint,
+                 upper(regexp_extract(meta_kv, 'verb=([A-Z]+)', 1)) AS verb
+          FROM nodes WHERE node_type = 'Endpoint')
+      SELECT DISTINCT t.endpoint, t.verb, t.indirect_test, t.test_helper
+      FROM treqs t JOIN eps e ON e.endpoint = t.endpoint AND e.verb = t.verb
     """),
     "kg_link_shared_ids" -> O("""
       SELECT r.conv_id, r.turn_idx, r.verb, r.res, r.shared_id

@@ -61,6 +61,81 @@ object PathNorm {
     *
     * Output: one row per request mention with its endpoint identity key.
     */
+  /** E4 INDIRECT test linking (linker.rs:96-134): requests reachable from an
+    * IntegrationTest through its helper functions — test -CALLS-> helper,
+    * helper -CALLS-> nested helper (ONE recursion level, matching
+    * `get_requests_from_nested_helper`), requests attached to a helper by an
+    * explicit CALLS edge OR by scope containment (which the build already
+    * materialized as the NESTED_IN range join, so the reference's per-test
+    * spatial scan becomes an edge equi-join here) — then matched against the
+    * endpoint index on (normalized path, verb) (linker.rs:50-58).
+    *
+    * The reference annotates the endpoint node meta with `indirect_test` and
+    * `test_helper` (asg.rs add_indirect_test/add_test_helper); we return the
+    * annotation rows themselves: one per (endpoint, verb, test, TOP-level
+    * helper) — the reference also credits the top-level helper for requests
+    * found under its nested helpers.
+    *
+    * Scale shape: every hop is a key equi-join on node_key (shuffles line up
+    * on the same key); the endpoint dimension is distinct'd and broadcast.
+    * No per-test driver loop — the reference's O(tests × functions) scan is
+    * one distributed join DAG.
+    */
+  def linkTestsIndirect(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val calls = edges
+      .where(col("edge_type") === "CALLS")
+      .select("src_key", "dst_key")
+    val tests = nodes
+      .where(col("node_type") === "IntegrationTest")
+      .select(col("node_key").as("test_key"), col("name").as("indirect_test"))
+    val fns = nodes
+      .where(col("node_type") === "Function")
+      .select(col("node_key").as("fn_key"), col("name").as("test_helper"))
+    // get_called_helpers: test -CALLS-> Function
+    val helpers = tests
+      .join(calls, col("test_key") === col("src_key"))
+      .join(fns, col("dst_key") === col("fn_key"))
+      .select("indirect_test", "fn_key", "test_helper")
+    // one nested level; the annotation keeps the TOP-level helper's name
+    val nestedHelpers = helpers
+      .select(col("indirect_test"), col("fn_key").as("h_key"), col("test_helper"))
+      .join(calls, col("h_key") === col("src_key"))
+      .join(fns.select(col("fn_key")), col("dst_key") === col("fn_key"))
+      .select("indirect_test", "fn_key", "test_helper")
+    val reach = helpers.unionByName(nestedHelpers).distinct()
+    val reqs = nodes
+      .where(col("node_type") === "Request")
+      .select(
+        col("node_key").as("req_key"),
+        col("name").as("req_path"),
+        upper(element_at(col("meta"), "verb")).as("verb"))
+    // requests of a helper: explicit CALLS(helper -> request) ...
+    val viaCalls = reach
+      .join(calls, col("fn_key") === col("src_key"))
+      .join(reqs, col("dst_key") === col("req_key"))
+    // ... or scope containment, pre-joined by the build as NESTED_IN
+    val nestedIn = edges
+      .where(col("edge_type") === "NESTED_IN")
+      .select(col("src_key").as("req_key"), col("dst_key").as("scope_key"))
+    val viaScope = reach
+      .join(nestedIn, col("fn_key") === col("scope_key"))
+      .join(reqs, Seq("req_key"))
+    val annotated = Seq(viaCalls, viaScope)
+      .map(_.select(col("indirect_test"), col("test_helper"), col("req_path"), col("verb")))
+      .reduce(_ unionByName _)
+    // endpoint index on (normalized path, verb): endpoint names are stored
+    // canonical, so only the request side normalizes
+    val eps = nodes
+      .where(col("node_type") === "Endpoint")
+      .select(col("name").as("endpoint"), upper(element_at(col("meta"), "verb")).as("verb"))
+      .distinct()
+    annotated
+      .withColumn("endpoint", canonical(normalizeFrontend(col("req_path"))))
+      .join(broadcast(eps), Seq("endpoint", "verb"))
+      .select("endpoint", "verb", "indirect_test", "test_helper")
+      .distinct()
+  }
+
   def linkApi(requests: DataFrame, endpoints: DataFrame): DataFrame = {
     val req = requests
       .withColumn("norm_path", canonical(normalizeFrontend(col("path"))))

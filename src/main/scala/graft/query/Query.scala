@@ -722,4 +722,91 @@ object Query {
         col("test_covered_functions").cast("double") / col("total_functions").cast("double")
       )
   }
+
+  /** G11 per-kind coverage tiers (coverage/mod.rs:60-126 build_stat /
+    * build_mock_stat + GraphCoverage, neo4j/operations/coverage.rs:16-41):
+    * one row per tier — unit/integration tests cover Functions, e2e tests
+    * cover Pages — with the reference's stat shape (total targets, total
+    * tests, covered, percent, line totals, line percent) plus the mock row.
+    *
+    * Line-count analog: a Function's "lines" are the line count of its
+    * defining Turn's body (the reference sums end-start over target spans);
+    * Pages have no span → zero line stats, exactly the reference's
+    * total_lines==0 → 0.0 branch. The mock row's "mocked" analog: the Mock's
+    * stub Function target receives an incoming test edge (CALLS or USES —
+    * unverified targets get USES per the D13 split).
+    *
+    * Scale shape: per-tier covered sets are semi-joins on node_key; all
+    * aggregates are single-row crossJoin-composed scalars — no collects.
+    */
+  def coverageByKind(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val calls = edges.where(col("edge_type") === "CALLS").select("src_key", "dst_key")
+    val turnLines = nodes
+      .where(col("node_type") === "Turn")
+      .select(col("conv_id"), col("turn_idx"),
+        size(split(col("body"), "\n")).cast("long").as("lines"))
+    val fns = nodes
+      .where(col("node_type") === "Function")
+      .select("node_key", "conv_id", "turn_idx")
+      .join(turnLines, Seq("conv_id", "turn_idx"), "left")
+      .select(col("node_key"), coalesce(col("lines"), lit(0L)).as("lines"))
+    val pages = nodes
+      .where(col("node_type") === "Page")
+      .select(col("node_key"), lit(0L).as("lines"))
+
+    def pct(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      round(when(den === 0, 0.0).otherwise(num * 100.0 / den), 2)
+
+    def tier(kind: String, testType: String, targets: DataFrame): DataFrame = {
+      val tests = nodes.where(col("node_type") === testType)
+        .select(col("node_key").as("src_key"))
+      val coveredKeys = calls
+        .join(tests, Seq("src_key"), "left_semi")
+        .select(col("dst_key").as("node_key"))
+        .distinct()
+      val covered = targets.join(coveredKeys, Seq("node_key"), "left_semi")
+      targets
+        .agg(count(lit(1)).as("total"), coalesce(sum("lines"), lit(0L)).as("total_lines"))
+        .crossJoin(tests.agg(count(lit(1)).as("total_tests")))
+        .crossJoin(covered.agg(
+          count(lit(1)).as("covered"),
+          coalesce(sum("lines"), lit(0L)).as("covered_lines")))
+        .select(
+          lit(kind).as("kind"),
+          col("total"), col("total_tests"), col("covered"),
+          pct(col("covered"), col("total")).as("percent"),
+          col("total_lines"), col("covered_lines"),
+          pct(col("covered_lines"), col("total_lines")).as("line_percent"))
+    }
+
+    val testSrcs = nodes
+      .where(col("node_type").isin("UnitTest", "IntegrationTest", "E2etest"))
+      .select(col("node_key").as("src_key"))
+    val testTouched = edges
+      .where(col("edge_type").isin("CALLS", "USES"))
+      .join(testSrcs, Seq("src_key"), "left_semi")
+      .select(col("dst_key"))
+      .distinct()
+    val mocks = nodes.where(col("node_type") === "Mock").select("node_key")
+    val mocked = mocks
+      .join(
+        edges.where(col("edge_type") === "OF").select("src_key", "dst_key"),
+        mocks("node_key") === col("src_key"))
+      .join(testTouched, Seq("dst_key"), "left_semi")
+      .select("src_key")
+      .distinct()
+    val mockRow = mocks
+      .agg(count(lit(1)).as("total"))
+      .crossJoin(mocked.agg(count(lit(1)).as("covered")))
+      .select(
+        lit("mocks").as("kind"),
+        col("total"), lit(0L).as("total_tests"), col("covered"),
+        pct(col("covered"), col("total")).as("percent"),
+        lit(0L).as("total_lines"), lit(0L).as("covered_lines"), lit(0.0).as("line_percent"))
+
+    tier("unit_tests", "UnitTest", fns)
+      .unionByName(tier("integration_tests", "IntegrationTest", fns))
+      .unionByName(tier("e2e_tests", "E2etest", pages))
+      .unionByName(mockRow)
+  }
 }

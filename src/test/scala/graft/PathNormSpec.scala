@@ -85,4 +85,34 @@ class PathNormSpec extends SparkSpec {
       .as[(Int, String)].collect().toSet
     assert(linked == Set((0, "/api/orders/:param"), (1, "/api/orders/:param")))
   }
+
+  test("linkTestsIndirect: helper scope + CALLS legs, one nested level, verb gate") {
+    def n(tpe: String, key: String, name: String, verb: String = null) =
+      (tpe, key, name, if (verb == null) Map.empty[String, String] else Map("verb" -> verb))
+    val nodes = Seq(
+      n("IntegrationTest", "t1", "test_orders"),
+      n("Function", "h1", "fetch_orders"),   // top-level helper
+      n("Function", "h2", "http_get"),       // nested helper of h1
+      n("Request", "r1", "/api/orders/${id}", "GET"),  // NESTED_IN h1
+      n("Request", "r2", "/api/users/3", "GET"),       // CALLS from h2
+      n("Request", "r3", "/api/orders/9", "POST"),     // verb mismatch
+      n("Endpoint", "e1", "/api/orders/:param", "GET"),
+      n("Endpoint", "e2", "/api/users/:param", "GET")
+    ).toDF("node_type", "node_key", "name", "meta")
+    val edges = Seq(
+      ("CALLS", "t1", "h1"),     // test -> helper
+      ("CALLS", "h1", "h2"),     // helper -> nested helper
+      ("NESTED_IN", "r1", "h1"), // scope containment leg
+      ("CALLS", "h2", "r2"),     // explicit request-call leg
+      ("NESTED_IN", "r3", "h1")  // links nowhere: no POST endpoint
+    ).toDF("edge_type", "src_key", "dst_key")
+    val got = PathNorm.linkTestsIndirect(nodes, edges)
+      .select("endpoint", "verb", "indirect_test", "test_helper")
+      .as[(String, String, String, String)].collect().toSet
+    // both hits credit the TOP-level helper, as the reference's
+    // add_test_helper does for nested-helper requests (linker.rs:120-128)
+    assert(got == Set(
+      ("/api/orders/:param", "GET", "test_orders", "fetch_orders"),
+      ("/api/users/:param", "GET", "test_orders", "fetch_orders")))
+  }
 }

@@ -249,6 +249,34 @@ class QuerySpec extends SparkSpec {
     assert(edgePairs == Set(("CALLS", "a", "b"), ("CONTAINS", "a", "e")))
   }
 
+  test("coverageByKind: per-tier targets, line stats from Turn bodies, mock row") {
+    val nodes = Seq(
+      ("Turn", "tk1", "t", "c1", 0, "l1\nl2\nl3", Map.empty[String, String]),
+      ("Function", "f1", "fa", "c1", 0, "", Map.empty[String, String]), // 3 lines
+      ("Function", "f2", "fb", "c9", 9, "", Map.empty[String, String]), // no turn: 0 lines
+      ("Page", "p1", "orders", "", -1, "", Map.empty[String, String]),
+      ("UnitTest", "u1", "ut", "c1", 1, "", Map.empty[String, String]),
+      ("E2etest", "e1", "et", "c1", 2, "", Map.empty[String, String]),
+      ("Mock", "m1", "mk", "", -1, "", Map.empty[String, String]),
+      ("Mock", "m2", "mk2", "", -1, "", Map.empty[String, String])
+    ).toDF("node_type", "node_key", "name", "conv_id", "turn_idx", "body", "meta")
+    val edges = Seq(
+      ("CALLS", "u1", "f1"), // unit covers f1 (3 of 3 lines)
+      ("CALLS", "e1", "p1"), // e2e covers the page
+      ("OF", "m1", "f1"),    // m1 mocked: its target f1 is test-touched
+      ("OF", "m2", "f2")     // m2 not: f2 untouched
+    ).toDF("edge_type", "src_key", "dst_key")
+    val rows = Query.coverageByKind(nodes, edges)
+      .select("kind", "total", "total_tests", "covered", "percent",
+        "total_lines", "covered_lines", "line_percent")
+      .as[(String, Long, Long, Long, Double, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows("unit_tests") == (("unit_tests", 2L, 1L, 1L, 50.0, 3L, 3L, 100.0)))
+    assert(rows("integration_tests") == (("integration_tests", 2L, 0L, 0L, 0.0, 3L, 0L, 0.0)))
+    assert(rows("e2e_tests") == (("e2e_tests", 1L, 1L, 1L, 100.0, 0L, 0L, 0.0)))
+    assert(rows("mocks") == (("mocks", 2L, 0L, 1L, 50.0, 0L, 0L, 0.0)))
+  }
+
   test("coverage ratio is consistent with uncalledFunctions") {
     val g = SparkTestSession.graph
     val cov = Query.coverage(g.nodes, g.edges)
