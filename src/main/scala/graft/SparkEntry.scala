@@ -402,6 +402,15 @@ object SparkEntry {
       Query.rrfFuse(Seq((text, 1.0), (vec, 1.5)), 5, 10)
         .withColumn("fused_score", round(col("fused_score"), 6))
     },
+    // G5 provenance (searchWithProvenance, graph.ts:119-249): fused rows
+    // annotated with which source(s) hit and their per-source rank/score
+    "kg_hybrid_provenance" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val text = Query.search(g.nodes, "postgres", 10).select("node_key", "score")
+      val vec = hybridVecSource(s, dir)
+      Query.rrfFuseWithProvenance(Seq(("fulltext", text, 1.0), ("vector", vec, 1.5)), 5, 10)
+        .withColumn("fused_score", round(col("fused_score"), 6))
+    },
     // G5 token-budget cutoff (graph.ts:207-235): same fusion, truncated by a
     // running sum(token_count) over the fused ranking — rows past the
     // budget drop (the oracle asserts some rows ARE cut)
@@ -745,6 +754,31 @@ object SparkEntry {
         .distinct()
         .groupBy("package")
         .agg(countDistinct("tool").as("n_tools"))
+    },
+    // get_services analog (graph.ts:264-269 + service.ts:187-260): each
+    // package-file service collects the env-var-like tokens of its scope —
+    // the reference assigns env mentions to the service whose pkg dir is the
+    // longest path prefix; the conversation is the containment scope here.
+    // ALL-CAPS token scan ≡ extractEnvVarNames' regex sweep (service.ts:176)
+    "kg_services" -> { (s, dir) =>
+      val t = Transcripts.fromEvents(s, dir)
+      val svc = t
+        .where(col("tool").isNotNull)
+        .select(col("conv_id"), split(col("tool"), "_").getItem(0).as("service"))
+        .distinct()
+      val envs = t
+        .select(
+          col("conv_id"),
+          explode(expr("regexp_extract_all(text, '\\\\b[A-Z][A-Z0-9_]+\\\\b', 0)"))
+            .as("env_var"))
+        .distinct()
+      svc.join(envs, Seq("conv_id"))
+        .select("service", "env_var")
+        .distinct()
+        .groupBy("service")
+        .agg(
+          count(lit(1)).as("n_env_vars"),
+          array_join(sort_array(collect_set(col("env_var"))), ",").as("env"))
     }
   )
 
@@ -1079,6 +1113,31 @@ object SparkEntry {
     "kg_hybrid_search" -> Oracles.withGraph(hybridCte + """
       SELECT node_key, round(sum(rrf), 6) AS fused_score
       FROM srcs GROUP BY node_key
+      ORDER BY sum(rrf) DESC, node_key LIMIT 10
+    """),
+    "kg_hybrid_provenance" -> Oracles.withGraph(hybridCte + """
+      , srcs_p AS (
+        SELECT node_key, 'fulltext' AS source,
+               CAST(row_number() OVER (ORDER BY score DESC, node_key) AS INTEGER) AS rank,
+               CAST(score AS DOUBLE) AS score,
+               1.0 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
+               * (0.5 + 0.5*score/max(score) OVER ()) AS rrf
+        FROM tsearch
+        UNION ALL
+        SELECT node_key, 'vector',
+               CAST(row_number() OVER (ORDER BY score DESC, node_key) AS INTEGER),
+               CAST(score AS DOUBLE),
+               1.5 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
+               * (0.5 + 0.5*score/max(score) OVER ())
+        FROM vsrc
+      )
+      SELECT node_key, round(sum(rrf), 6) AS fused_score,
+             string_agg(source, ',' ORDER BY source) AS sources,
+             max(CASE WHEN source = 'fulltext' THEN rank END) AS fulltext_rank,
+             max(CASE WHEN source = 'fulltext' THEN score END) AS fulltext_score,
+             max(CASE WHEN source = 'vector' THEN rank END) AS vector_rank,
+             max(CASE WHEN source = 'vector' THEN score END) AS vector_score
+      FROM srcs_p GROUP BY node_key
       ORDER BY sum(rrf) DESC, node_key LIMIT 10
     """),
     "kg_hybrid_search_budget" -> Oracles.withGraph(hybridCte + s"""
@@ -1485,6 +1544,21 @@ object SparkEntry {
     "kg_packages" -> O("""
       SELECT string_split(tool, '_')[1] AS package, count(DISTINCT tool) AS n_tools
       FROM transcripts WHERE tool IS NOT NULL GROUP BY 1
+    """),
+    "kg_services" -> O("""
+      , svc AS (
+        SELECT DISTINCT conv_id, string_split(tool, '_')[1] AS service
+        FROM transcripts WHERE tool IS NOT NULL)
+      , envs AS (
+        SELECT DISTINCT conv_id,
+               unnest(regexp_extract_all(text, '\b[A-Z][A-Z0-9_]+\b')) AS env_var
+        FROM transcripts)
+      , pairs AS (
+        SELECT DISTINCT s.service, e.env_var
+        FROM svc s JOIN envs e USING (conv_id))
+      SELECT service, count(*) AS n_env_vars,
+             string_agg(env_var, ',' ORDER BY env_var) AS env
+      FROM pairs GROUP BY service
     """),
     "kg_datamodels_within" -> Oracles.withGraph("""
       SELECT DISTINCT e.alias || '_handler' AS fn_name, e.conv_id, e.turn_idx,

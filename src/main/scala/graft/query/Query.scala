@@ -558,6 +558,47 @@ object Query {
       .limit(limit)
   }
 
+  /** G5 provenance surface (searchWithProvenance, graph.ts:119-249): the
+    * same RRF fusion, but each fused row carries WHICH source(s) produced it
+    * and at what per-source rank/score — the reference's SearchProvenance
+    * result_meta (sources, fulltext_rank/score, vector_rank/score). Sources
+    * are named; the pivot columns are `<name>_rank` / `<name>_score`, NULL
+    * when that source missed the node. Same scale shape as [[rrfFuse]]: one
+    * shuffle per source for the rank window, one groupBy on node_key.
+    */
+  def rrfFuseWithProvenance(
+      sources: Seq[(String, DataFrame, Double)],
+      k: Int = 5,
+      limit: Int = 10
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sources.map { case (src, df, boost) =>
+      val w = Window.orderBy(col("score").desc, col("node_key"))
+      df.select(col("node_key"), col("score").cast("double").as("score"))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("max_score", max(col("score")).over(Window.partitionBy(lit(1))))
+        .withColumn(
+          "rrf",
+          lit(boost) * (lit(1.0) / (lit(k.toDouble) + col("rank"))) *
+            (lit(0.5) + lit(0.5) * col("score") / col("max_score"))
+        )
+        .select(col("node_key"), lit(src).as("source"), col("rank"), col("score"), col("rrf"))
+    }
+    val pivots = sources.flatMap { case (src, _, _) =>
+      Seq(
+        max(when(col("source") === src, col("rank"))).as(s"${src}_rank"),
+        max(when(col("source") === src, col("score"))).as(s"${src}_score"))
+    }
+    ranked
+      .reduce(_ unionByName _)
+      .groupBy("node_key")
+      .agg(
+        sum("rrf").as("fused_score"),
+        (array_join(sort_array(collect_set(col("source"))), ",").as("sources") +: pivots): _*)
+      .orderBy(col("fused_score").desc, col("node_key"))
+      .limit(limit)
+  }
+
   /** G5 token-budget cutoff (mcp/src/graph/graph.ts:207-235): the reference
     * truncates fused hybrid results by a RUNNING sum of token_count over the
     * fused ranking — rows past the budget are dropped, not trimmed. Token

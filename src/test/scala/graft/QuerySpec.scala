@@ -277,6 +277,24 @@ class QuerySpec extends SparkSpec {
     assert(rows("mocks") == (("mocks", 2L, 0L, 1L, 50.0, 0L, 0L, 0.0)))
   }
 
+  test("rrfFuseWithProvenance: fused scores match rrfFuse, pivots carry source ranks") {
+    val text = Seq(("a", 100.0), ("b", 50.0)).toDF("node_key", "score")
+    val vec = Seq(("b", 0.9), ("c", 0.8)).toDF("node_key", "score")
+    val fused = Query.rrfFuse(Seq((text, 1.0), (vec, 1.5)), 5, 10)
+      .select("node_key", "fused_score").as[(String, Double)].collect().toMap
+    val prov = Query.rrfFuseWithProvenance(
+      Seq(("fulltext", text, 1.0), ("vector", vec, 1.5)), 5, 10)
+    val rows = prov
+      .select("node_key", "fused_score", "sources", "fulltext_rank", "vector_rank")
+      .as[(String, Double, String, Option[Int], Option[Int])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == fused.keySet)
+    rows.values.foreach { case (k, s, _, _, _) => assert(math.abs(s - fused(k)) < 1e-12) }
+    assert(rows("a")._3 == "fulltext" && rows("a")._4.contains(1) && rows("a")._5.isEmpty)
+    assert(rows("b")._3 == "fulltext,vector" && rows("b")._4.contains(2) && rows("b")._5.contains(1))
+    assert(rows("c")._3 == "vector" && rows("c")._4.isEmpty && rows("c")._5.contains(2))
+  }
+
   test("coverage ratio is consistent with uncalledFunctions") {
     val g = SparkTestSession.graph
     val cov = Query.coverage(g.nodes, g.edges)
