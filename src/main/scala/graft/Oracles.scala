@@ -465,13 +465,16 @@ object Oracles {
     * division then FLOAT cast (Spark divides float operands in double, so
     * the oracle replicates that exact path).
     */
-  val nodeEmbCte: String = """
+  def embSql(keyExpr: String, bodyExpr: String): String = s"""
+      list_transform(range(0, 64), i ->
+        CAST(CAST((ascii(substr(md5($keyExpr || '|' || $bodyExpr),
+                                1 + ((CAST(i AS INTEGER) * 7 + 3) % 32), 1))
+                   * (CAST(i AS INTEGER) + 1)) % 101 AS DOUBLE) / 101 AS FLOAT))"""
+
+  val nodeEmbCte: String = s"""
 , nemb AS (
     SELECT node_key,
-      list_transform(range(0, 64), i ->
-        CAST(CAST((ascii(substr(md5(node_key || '|' || body),
-                                1 + ((CAST(i AS INTEGER) * 7 + 3) % 32), 1))
-                   * (CAST(i AS INTEGER) + 1)) % 101 AS DOUBLE) / 101 AS FLOAT))
+      ${embSql("node_key", "body")}
         AS embedding
     FROM nodes
 )"""

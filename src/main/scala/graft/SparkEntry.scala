@@ -6,7 +6,7 @@ import graft.extract.Mentions
 import graft.graphstore.GraphOps
 import graft.link.PathNorm
 import graft.pipeline.GraphBuild
-import graft.query.Query
+import graft.query.{Learnings, Query}
 import graft.resolve.CallResolver
 import graft.sources.Transcripts
 import graft.util.Ckpt._
@@ -143,6 +143,11 @@ object SparkEntry {
     */
   val HybridTokenBudget = 15L
 
+  /** Retrieval prompt for the Learning/Scope funnel — mentions two of the
+    * three service scopes so the scope gate genuinely selects a subset.
+    */
+  val LearningsPrompt = "how should the assistant retry svc_orders and svc_users calls"
+
   // node-embedding table (node_key, embedding), materialized once per
   // (session, sfDir): the 100 TB shape is a backfilled embedding column read
   // from the node table, not a per-query body-scan re-derivation — three
@@ -178,22 +183,31 @@ object SparkEntry {
 
   /** The G10 pagerank projection (Request/Endpoint/Function nodes over
     * CALLS/HANDLER edges) → converged (node_key, rank). Shared by
-    * kg_pagerank and the pagerank-sorted search.
+    * kg_pagerank and the pagerank-sorted search — materialized once per
+    * (session, sfDir): the 20-iteration loop is the single most expensive
+    * serving computation (~6 s at sf0.1×16), and the reference likewise
+    * persists pagerank as a node property rather than recomputing per query
+    * (mcp/src/graph/graph.ts sortBy="pagerank" reads a stored score).
     */
-  private def pagerankRanks(g: GraphBuild.Graph): DataFrame = {
-    val proj = g.nodes.where(col("node_type").isin("Request", "Endpoint", "Function"))
-    val projKeys = proj.select("node_key")
-    val projEdges = g.edges
-      .where(col("edge_type").isin("CALLS", "HANDLER"))
-      .join(projKeys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
-      .join(projKeys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
-    Query.pagerank(proj, projEdges)
-  }
+  private val pagerankCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def pagerankOf(s: SparkSession, dir: String): DataFrame =
+    cached(pagerankCache)(s, dir) {
+      val g = graphOf(s, dir)
+      val proj = g.nodes.where(col("node_type").isin("Request", "Endpoint", "Function"))
+      val projKeys = proj.select("node_key")
+      val projEdges = g.edges
+        .where(col("edge_type").isin("CALLS", "HANDLER"))
+        .join(projKeys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
+        .join(projKeys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
+      Query.pagerank(proj, projEdges).lcp()
+    }
 
   private[graft] def prime(s: SparkSession, dir: String): Unit = {
     mentionsOf(s, dir)
     graphOf(s, dir)
     nodeEmbOf(s, dir)
+    pagerankOf(s, dir)
     incStateOf(s, dir)
     snapStoreOf(s, dir)
     ()
@@ -355,6 +369,14 @@ object SparkEntry {
         nameSuffixes = Seq("-0"),
         pathContains = Seq("-000042-")
       )),
+    // Learning + Scope system (learnings.ts:19-196, neo4j.ts:962-1090):
+    // get_all_learnings_with_scopes / get_all_scopes / post_relevant_learnings
+    "kg_learnings" -> ((s, dir) =>
+      Learnings.learnings(Transcripts.fromEvents(s, dir))),
+    "kg_scopes" -> ((s, dir) =>
+      Learnings.scopes(Transcripts.fromEvents(s, dir))),
+    "kg_relevant_learnings" -> ((s, dir) =>
+      Learnings.relevant(Transcripts.fromEvents(s, dir), LearningsPrompt, 25)),
     // G11 coverage
     "kg_coverage" -> ((s, dir) => {
       val g = graphOf(s, dir); Query.coverage(g.nodes, g.edges)
@@ -368,14 +390,13 @@ object SparkEntry {
     // G10 pagerank over the projected Request->Endpoint->Function graph
     // (oracle: the 20-iteration loop unrolled as chained CTEs)
     "kg_pagerank" -> { (s, dir) =>
-      pagerankRanks(graphOf(s, dir)).withColumn("rank", round(col("rank"), 5))
+      pagerankOf(s, dir).withColumn("rank", round(col("rank"), 5))
     },
     // G3 pagerank-sorted search (graph.ts:80-86,142 sortBy="pagerank"):
     // relevance top-10 for "handler" (Function hits carry pagerank; the
     // reference coalesces missing pagerank to 0), re-sorted by rank
     "kg_search_pagerank" -> { (s, dir) =>
-      val g = graphOf(s, dir)
-      Query.searchByPagerank(g.nodes, "handler", 10, pagerankRanks(g))
+      Query.searchByPagerank(graphOf(s, dir).nodes, "handler", 10, pagerankOf(s, dir))
     },
     // G9 shortest_path: BFS distance Entity postgres -> Entity kafka
     "kg_shortest_path" -> { (s, dir) =>
@@ -784,6 +805,21 @@ object SparkEntry {
 
   private val O = Transcripts.oracle _
 
+  /** DuckDB twin of [[graft.query.Learnings.learnings]]: arg-min by the
+    * unique within-conversation turn_idx under a role filter = Spark's
+    * min-over-(turn_idx,text)-structs with when() nulls.
+    */
+  private val learningsCte: String = """
+      , lrn AS (
+        SELECT conv_id AS id,
+               arg_min(text, turn_idx) FILTER (WHERE role = 'tool') AS rule,
+               arg_min(text, turn_idx) FILTER (WHERE role = 'user') AS reason,
+               list_sort(list(DISTINCT tool) FILTER (WHERE tool IS NOT NULL)) AS scopes
+        FROM transcripts
+        GROUP BY conv_id
+        HAVING arg_min(text, turn_idx) FILTER (WHERE role = 'tool') IS NOT NULL
+      )"""
+
   /** Key of the Entity 'postgres' anchor, as a SQL literal. */
   private val pgEntityKeySql: String =
     Oracles.key4("'Entity'", "'postgres'", "''", "-1")
@@ -1092,6 +1128,33 @@ object SparkEntry {
              'File: ' || name || chr(10) || ' Content: ' || chr(10) || ' ' || body || chr(10) AS render,
              (SELECT CAST(count(*) AS BIGINT) FROM rf) AS files_found
       FROM rf
+    """),
+    "kg_learnings" -> O(learningsCte + """
+      SELECT id, rule, reason, scopes FROM lrn
+    """),
+    "kg_scopes" -> O(learningsCte + """
+      SELECT scope, CAST(count(*) AS BIGINT) AS n_learnings
+      FROM (SELECT id, unnest(scopes) AS scope FROM lrn)
+      GROUP BY scope
+    """),
+    "kg_relevant_learnings" -> O(learningsCte + s"""
+      , rel AS (
+        SELECT DISTINCT scope
+        FROM (SELECT unnest(scopes) AS scope FROM lrn)
+        WHERE contains('$LearningsPrompt', scope)
+      )
+      , cand AS (
+        SELECT DISTINCT l.id, l.rule, l.scopes
+        FROM lrn l JOIN rel r ON list_contains(l.scopes, r.scope)
+      )
+      SELECT id, rule, scopes, ${Oracles.cosSql("e", "q")} AS cos
+      FROM (
+        SELECT id, rule, scopes,
+               ${Oracles.embSql("id", "rule")} AS e,
+               ${Oracles.embSql("'prompt'", s"'$LearningsPrompt'")} AS q
+        FROM cand
+      )
+      ORDER BY cos DESC, id LIMIT 25
     """),
     "kg_shortest_path" -> Oracles.withGraph(s"""
       , und AS (
