@@ -159,6 +159,16 @@ object SparkEntry {
       datapipe.Ann.nodeEmbeddings(graphOf(s, dir).nodes).lcp()
     )
 
+  // the Learning rule store, materialized once per (session, sfDir): the
+  // reference writes Learning/Scope nodes once via upsert and serves many
+  // reads — three query entries consume this table
+  private val learningsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def learningsOf(s: SparkSession, dir: String): DataFrame =
+    cached(learningsCache)(s, dir)(
+      Learnings.learnings(Transcripts.fromEvents(s, dir)).lcp()
+    )
+
   /** Key of the Entity 'postgres' node — the hybrid/node-vector query
     * anchor. One dimension-sized point lookup (same pattern as
     * kg_shortest_path's target key), cached: three query entries anchor on
@@ -208,6 +218,7 @@ object SparkEntry {
     graphOf(s, dir)
     nodeEmbOf(s, dir)
     pagerankOf(s, dir)
+    learningsOf(s, dir)
     incStateOf(s, dir)
     snapStoreOf(s, dir)
     ()
@@ -371,12 +382,10 @@ object SparkEntry {
       )),
     // Learning + Scope system (learnings.ts:19-196, neo4j.ts:962-1090):
     // get_all_learnings_with_scopes / get_all_scopes / post_relevant_learnings
-    "kg_learnings" -> ((s, dir) =>
-      Learnings.learnings(Transcripts.fromEvents(s, dir))),
-    "kg_scopes" -> ((s, dir) =>
-      Learnings.scopes(Transcripts.fromEvents(s, dir))),
+    "kg_learnings" -> ((s, dir) => learningsOf(s, dir)),
+    "kg_scopes" -> ((s, dir) => Learnings.scopesOver(learningsOf(s, dir))),
     "kg_relevant_learnings" -> ((s, dir) =>
-      Learnings.relevant(Transcripts.fromEvents(s, dir), LearningsPrompt, 25)),
+      Learnings.relevantOver(learningsOf(s, dir), LearningsPrompt, 25)),
     // G11 coverage
     "kg_coverage" -> ((s, dir) => {
       val g = graphOf(s, dir); Query.coverage(g.nodes, g.edges)

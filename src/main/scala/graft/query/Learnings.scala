@@ -66,9 +66,13 @@ object Learnings {
   /** Scope inventory — get_all_scopes (neo4j.ts:1056-1064) plus the
     * HAS_SCOPE in-degree (how many learnings carry each scope).
     */
-  def scopes(t: DataFrame): DataFrame =
-    learnings(t)
-      .select(col("id"), explode(col("scopes")).as("scope"))
+  def scopes(t: DataFrame): DataFrame = scopesOver(learnings(t))
+
+  /** [[scopes]] over a pre-materialized learnings table (the serving path:
+    * the rule store is written once, queried many times).
+    */
+  def scopesOver(l: DataFrame): DataFrame =
+    l.select(col("id"), explode(col("scopes")).as("scope"))
       .groupBy("scope")
       .agg(count(lit(1)).as("n_learnings"))
 
@@ -79,8 +83,11 @@ object Learnings {
     * neo4j.ts:1066-1090), (3) top-k candidates by stub-embedding cosine
     * between rule and prompt (the LLM learning-pick stand-in).
     */
-  def relevant(t: DataFrame, prompt: String, k: Int): DataFrame = {
-    val l = learnings(t)
+  def relevant(t: DataFrame, prompt: String, k: Int): DataFrame =
+    relevantOver(learnings(t), prompt, k)
+
+  /** [[relevant]] over a pre-materialized learnings table. */
+  def relevantOver(l: DataFrame, prompt: String, k: Int): DataFrame = {
     val rel = l
       .select(explode(col("scopes")).as("scope")).distinct()
       .where(lit(prompt).contains(col("scope")))
