@@ -538,34 +538,113 @@ WHERE t.node_key = $targetKeyExpr"""
     * queries that join the converged `pr20` table (e.g. pagerank-sorted
     * search). Same chain [[pagerankCte]] selects from.
     */
-  lazy val pagerankChain: String = {
+  lazy val pagerankChain: String = pagerankChainOver(
+    "p",
+    "node_type IN ('Request','Endpoint','Function')",
+    "e.edge_type IN ('CALLS','HANDLER')"
+  )
+
+  /** [[pagerankChain]] over an arbitrary node/edge projection; CTE names are
+    * `${p}n`, `${p}e`, `${p}links`, …, `${p}r0..${p}r20`. `distinctEdges`
+    * collapses parallel edges of different types between the same pair to
+    * one link (the importance projection merges CALLS|HANDLER|RENDERS).
+    */
+  def pagerankChainOver(
+      p: String,
+      nodeFilter: String,
+      edgeFilter: String,
+      distinctEdges: Boolean = false
+  ): String = {
+    val dist = if (distinctEdges) "DISTINCT " else ""
     val iters = (1 to 20).map { k =>
       s"""
-, pr$k AS MATERIALIZED (
-  SELECT p.node_key,
+, ${p}r$k AS MATERIALIZED (
+  SELECT q.node_key,
     0.15 + 0.85 * (coalesce(c.c, CAST(0.0 AS DOUBLE)) + dm.dmass / pc.n) AS rank
-  FROM pn p
-  CROSS JOIN pcount pc
+  FROM ${p}n q
+  CROSS JOIN ${p}count pc
   CROSS JOIN (SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dmass
-              FROM pr${k - 1} r JOIN pdangle d ON d.node_key = r.node_key) dm
+              FROM ${p}r${k - 1} r JOIN ${p}dangle d ON d.node_key = r.node_key) dm
   LEFT JOIN (SELECT l.dst_key AS node_key, sum(r.rank / l.out_deg) AS c
-             FROM pr${k - 1} r JOIN plinks l ON l.src_key = r.node_key GROUP BY 1) c
-    ON c.node_key = p.node_key
+             FROM ${p}r${k - 1} r JOIN ${p}links l ON l.src_key = r.node_key GROUP BY 1) c
+    ON c.node_key = q.node_key
 )"""
     }.mkString
     s"""
-, pn AS MATERIALIZED (SELECT node_key FROM nodes WHERE node_type IN ('Request','Endpoint','Function'))
-, pe AS MATERIALIZED (
-    SELECT e.src_key, e.dst_key FROM edges e
-    JOIN pn s ON s.node_key = e.src_key
-    JOIN pn d ON d.node_key = e.dst_key
-    WHERE e.edge_type IN ('CALLS','HANDLER')
+, ${p}n AS MATERIALIZED (SELECT node_key FROM nodes WHERE $nodeFilter)
+, ${p}e AS MATERIALIZED (
+    SELECT ${dist}e.src_key, e.dst_key FROM edges e
+    JOIN ${p}n s ON s.node_key = e.src_key
+    JOIN ${p}n d ON d.node_key = e.dst_key
+    WHERE $edgeFilter
 )
-, pdeg AS (SELECT src_key, CAST(count(*) AS DOUBLE) AS out_deg FROM pe GROUP BY 1)
-, plinks AS MATERIALIZED (SELECT e.src_key, e.dst_key, d.out_deg FROM pe e JOIN pdeg d ON d.src_key = e.src_key)
-, pdangle AS MATERIALIZED (SELECT node_key FROM pn WHERE node_key NOT IN (SELECT src_key FROM pe))
-, pcount AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM pn)
-, pr0 AS MATERIALIZED (SELECT node_key, CAST(1.0 AS DOUBLE) AS rank FROM pn)
+, ${p}deg AS (SELECT src_key, CAST(count(*) AS DOUBLE) AS out_deg FROM ${p}e GROUP BY 1)
+, ${p}links AS MATERIALIZED (SELECT e.src_key, e.dst_key, d.out_deg FROM ${p}e e JOIN ${p}deg d ON d.src_key = e.src_key)
+, ${p}dangle AS MATERIALIZED (SELECT node_key FROM ${p}n WHERE node_key NOT IN (SELECT src_key FROM ${p}e))
+, ${p}count AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM ${p}n)
+, ${p}r0 AS MATERIALIZED (SELECT node_key, CAST(1.0 AS DOUBLE) AS rank FROM ${p}n)
 $iters"""
+  }
+
+  /** Importance scoring oracle (mcp/src/importance/detector.ts:12-166):
+    * pagerank + DISTINCT-caller/callee degrees over the
+    * Function|Class|Trait|Endpoint|DataModel|Request|Page projection with
+    * CALLS|HANDLER|RENDERS edges (queries.ts:1065-1101), derived scores
+    * entry = out/(in+1), utility = in/(out+1), hub = in*out, floor-index
+    * percentile thresholds over non-structural nodes (detector.ts:12-16:
+    * sorted[min(floor(p*n), n-1)]), and the assignTag cascade
+    * (detector.ts:18-52). Exposes `itagged`.
+    */
+  lazy val importanceCte: String = {
+    val projTypes =
+      "('Function','Class','Trait','Endpoint','DataModel','Request','Page')"
+    // floor-index percentile over a sub-population of ins as a scalar subquery
+    def pct(valueExpr: String, where: String, p: String) =
+      s"""coalesce((
+        SELECT v FROM (SELECT $valueExpr AS v, row_number() OVER (ORDER BY $valueExpr) - 1 AS rn FROM ins $where) q
+        CROSS JOIN (SELECT count(*) AS n FROM ins $where) c
+        WHERE rn = least(CAST(floor($p * n) AS BIGINT), n - 1)), 0.0)"""
+    pagerankChainOver(
+      "imp",
+      s"node_type IN $projTypes",
+      "e.edge_type IN ('CALLS','HANDLER','RENDERS')",
+      distinctEdges = true
+    ) +
+      s"""
+, inodes AS MATERIALIZED (SELECT node_key, node_type FROM nodes WHERE node_type IN $projTypes)
+, iscored AS MATERIALIZED (
+    SELECT node_key, node_type, in_degree, out_degree,
+           CAST(out_degree AS DOUBLE) / (in_degree + 1) AS entry_score,
+           CAST(in_degree AS DOUBLE) / (out_degree + 1) AS utility_score,
+           CAST(in_degree * out_degree AS DOUBLE) AS hub_score
+    FROM (
+      SELECT n.node_key, n.node_type,
+             CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree,
+             CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree
+      FROM inodes n
+      LEFT JOIN (SELECT dst_key, count(*) AS c FROM impe GROUP BY 1) i ON i.dst_key = n.node_key
+      LEFT JOIN (SELECT src_key, count(*) AS c FROM impe GROUP BY 1) o ON o.src_key = n.node_key))
+, ins AS MATERIALIZED (
+    SELECT * FROM iscored
+    WHERE node_type NOT IN ('Request','Page')
+      AND NOT (node_type = 'Endpoint' AND in_degree = 0))
+, ith AS (SELECT
+    ${pct("entry_score", "", "0.9")} AS entry_p90,
+    ${pct("utility_score", "", "0.75")} AS utility_p75,
+    ${pct("hub_score", "WHERE hub_score > 0", "0.9")} AS hub_p90)
+, itagged AS (
+    SELECT s.node_key, s.node_type, s.in_degree, s.out_degree,
+           s.entry_score, s.utility_score, s.hub_score,
+           CASE
+             WHEN s.node_type IN ('Request','Page')
+               OR (s.node_type = 'Endpoint' AND s.in_degree = 0) THEN 'EntryPoint'
+             WHEN s.hub_score > 0 AND s.hub_score >= t.hub_p90 THEN 'Hub'
+             WHEN s.entry_score >= t.entry_p90 AND s.out_degree >= 3 THEN 'EntryPoint'
+             WHEN s.utility_score >= t.utility_p75 AND s.in_degree > 0 THEN 'Utility'
+             ELSE 'Connector'
+           END AS importance_tag,
+           round(coalesce(r.rank, 0.0), 5) AS pagerank
+    FROM iscored s CROSS JOIN ith t
+    LEFT JOIN impr20 r ON r.node_key = s.node_key)"""
   }
 }

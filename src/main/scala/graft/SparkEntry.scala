@@ -6,7 +6,7 @@ import graft.extract.Mentions
 import graft.graphstore.GraphOps
 import graft.link.PathNorm
 import graft.pipeline.GraphBuild
-import graft.query.{Learnings, Query}
+import graft.query.{Importance, Learnings, Query}
 import graft.resolve.CallResolver
 import graft.sources.Transcripts
 import graft.util.Ckpt._
@@ -213,11 +213,27 @@ object SparkEntry {
       Query.pagerank(proj, projEdges).lcp()
     }
 
+  /** Importance scoring table (mcp/src/importance/detector.ts:54-166),
+    * shared by the full-table / top-k / by-tag queries — its pagerank runs
+    * over a WIDER projection than [[pagerankOf]] (7 node types,
+    * CALLS|HANDLER|RENDERS), so it is its own cached materialization; the
+    * reference likewise persists the scores as node properties
+    * (queries.ts:1087-1101 BULK_UPDATE_IMPORTANCE_QUERY).
+    */
+  private val importanceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def importanceOf(s: SparkSession, dir: String): DataFrame =
+    cached(importanceCache)(s, dir) {
+      val g = graphOf(s, dir)
+      Importance.scored(g.nodes, g.edges).lcp()
+    }
+
   private[graft] def prime(s: SparkSession, dir: String): Unit = {
     mentionsOf(s, dir)
     graphOf(s, dir)
     nodeEmbOf(s, dir)
     pagerankOf(s, dir)
+    importanceOf(s, dir)
     learningsOf(s, dir)
     incStateOf(s, dir)
     snapStoreOf(s, dir)
@@ -401,6 +417,14 @@ object SparkEntry {
     "kg_pagerank" -> { (s, dir) =>
       pagerankOf(s, dir).withColumn("rank", round(col("rank"), 5))
     },
+    // Importance scoring (importance/detector.ts:54-166): pagerank + degree
+    // scores + percentile-thresholded tags over the 7-type projection
+    "kg_importance" -> ((s, dir) => importanceOf(s, dir)),
+    // get_top_importance (queries.ts:1124-1139): top-50 by pagerank
+    "kg_importance_top" -> ((s, dir) => Importance.top(importanceOf(s, dir), 50)),
+    // get_importance_tag (queries.ts:1101-1122): one tag's nodes
+    "kg_importance_tagged" -> ((s, dir) =>
+      Importance.byTag(importanceOf(s, dir), "Utility", 50)),
     // G3 pagerank-sorted search (graph.ts:80-86,142 sortBy="pagerank"):
     // relevance top-10 for "handler" (Function hits carry pagerank; the
     // reference coalesces missing pagerank to 0), re-sorted by rank
@@ -1182,6 +1206,16 @@ object SparkEntry {
       GROUP BY node_key
     """),
     "kg_pagerank" -> Oracles.withGraph(Oracles.pagerankCte),
+    "kg_importance" -> Oracles.withGraph(
+      Oracles.importanceCte + "\nSELECT * FROM itagged"),
+    "kg_importance_top" -> Oracles.withGraph(
+      Oracles.importanceCte +
+        "\nSELECT * FROM itagged ORDER BY pagerank DESC, node_key LIMIT 50"),
+    "kg_importance_tagged" -> Oracles.withGraph(
+      Oracles.importanceCte +
+        """
+      SELECT * FROM itagged WHERE importance_tag = 'Utility'
+      ORDER BY pagerank DESC, node_key LIMIT 50"""),
     "kg_hybrid_search" -> Oracles.withGraph(hybridCte + """
       SELECT node_key, round(sum(rrf), 6) AS fused_score
       FROM srcs GROUP BY node_key

@@ -1,0 +1,133 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.schema.{EdgeTypes, NodeTypes}
+
+/** Importance scoring — re-expression of the reference's GDS-backed
+  * importance detector (mcp/src/importance/detector.ts:12-166) as one
+  * declarative Spark job instead of a Neo4j-GDS projection + a JS driver
+  * loop that streams EVERY scored node to one process and sorts in memory
+  * (detector.ts:96-110). Here the projection, pagerank, degree counting,
+  * percentile thresholds and tag assignment are all distributed:
+  *
+  *  - projection: Function|Class|Trait|Endpoint|DataModel|Request|Page
+  *    nodes over CALLS|HANDLER|RENDERS edges (queries.ts:1065-1078), with
+  *    parallel edges of different types collapsed to one link — matching
+  *    the DISTINCT caller/callee degree semantics of queries.ts:1091-1101.
+  *  - scores (detector.ts:79-86): entry = out/(in+1), utility = in/(out+1),
+  *    hub = in*out.
+  *  - thresholds (detector.ts:12-16,89-111): floor-index percentile
+  *    `sorted[min(floor(p*n), n-1)]` over NON-structural nodes, computed
+  *    scalably from the distinct-value histogram (groupBy value + cumulative
+  *    count over the tiny distinct-score dimension) — no global sort of the
+  *    node set, so the threshold pass survives a 1000-executor graph.
+  *  - tags (detector.ts:18-52): structural EntryPoint overrides, then
+  *    Hub / EntryPoint / Utility / Connector cascade.
+  */
+object Importance {
+
+  private val ProjTypes = Seq(
+    NodeTypes.Function, NodeTypes.Class, NodeTypes.Trait, NodeTypes.Endpoint,
+    NodeTypes.DataModel, NodeTypes.Request, NodeTypes.Page)
+  private val ProjEdges = Seq(EdgeTypes.Calls, EdgeTypes.Handler, EdgeTypes.Renders)
+
+  /** The importance graph projection (queries.ts:1065-1078): typed node
+    * subset + DISTINCT (src, dst) pairs of the merged edge-type set, both
+    * ends inside the projection.
+    */
+  def projection(nodes: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
+    val pn = nodes
+      .where(col("node_type").isin(ProjTypes: _*))
+      .select("node_key", "node_type")
+    val keys = pn.select("node_key")
+    val pe = edges
+      .where(col("edge_type").isin(ProjEdges: _*))
+      .select("src_key", "dst_key")
+      .distinct()
+      .join(keys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
+      .join(keys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
+    (pn, pe)
+  }
+
+  /** Floor-index percentile (detector.ts:12-16): the value at 0-based index
+    * min(floor(p*n), n-1) of the ascending sort — equivalently the smallest
+    * value whose cumulative count reaches index+1. One-row DataFrame
+    * (`value`); 0.0 on an empty population, like the reference's
+    * `percentile([], p) = 0`. The cumulative window runs over DISTINCT
+    * score values (degree ratios — a dimension-sized domain), not |V| rows.
+    */
+  private[graft] def floorPercentile(scores: DataFrame, c: String, p: Double): DataFrame = {
+    val counts = scores.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = counts.withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+    val n = scores.agg(count(lit(1)).as("n"))
+    cum
+      .crossJoin(n)
+      .where(col("cum") >= least(floor(lit(p) * col("n")).cast("long"), col("n") - 1) + 1)
+      .agg(coalesce(min("v"), lit(0.0)).as("value"))
+  }
+
+  /** Full scored + tagged importance table: (node_key, node_type,
+    * in_degree, out_degree, entry_score, utility_score, hub_score,
+    * importance_tag, pagerank). Pagerank is the converged 20-iteration
+    * score over the same projection, rounded to 5 decimals for the
+    * cross-engine compare (same discipline as kg_pagerank).
+    */
+  def scored(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val (pn, pe) = projection(nodes, edges)
+    val ind = pe.groupBy(col("dst_key").as("node_key")).agg(count(lit(1)).as("in_degree"))
+    val outd = pe.groupBy(col("src_key").as("node_key")).agg(count(lit(1)).as("out_degree"))
+    val sc = pn
+      .join(ind, Seq("node_key"), "left")
+      .join(outd, Seq("node_key"), "left")
+      .na.fill(0L, Seq("in_degree", "out_degree"))
+      .withColumn("entry_score", col("out_degree").cast("double") / (col("in_degree") + 1))
+      .withColumn("utility_score", col("in_degree").cast("double") / (col("out_degree") + 1))
+      .withColumn("hub_score", (col("in_degree") * col("out_degree")).cast("double"))
+
+    // structural entry points are excluded from the threshold population
+    // (detector.ts:90-95)
+    val structural = col("node_type").isin(NodeTypes.Request, NodeTypes.Page) ||
+      (col("node_type") === NodeTypes.Endpoint && col("in_degree") === 0)
+    val ns = sc.where(!structural)
+    val entryP90 = floorPercentile(ns, "entry_score", 0.9)
+      .withColumnRenamed("value", "entry_p90")
+    val utilityP75 = floorPercentile(ns, "utility_score", 0.75)
+      .withColumnRenamed("value", "utility_p75")
+    val hubP90 = floorPercentile(ns.where(col("hub_score") > 0), "hub_score", 0.9)
+      .withColumnRenamed("value", "hub_p90")
+
+    val tagged = sc
+      .crossJoin(entryP90)   // three scalar broadcasts — no driver action
+      .crossJoin(utilityP75)
+      .crossJoin(hubP90)
+      .withColumn(
+        "importance_tag",
+        when(structural, "EntryPoint")
+          .when(col("hub_score") > 0 && col("hub_score") >= col("hub_p90"), "Hub")
+          .when(col("entry_score") >= col("entry_p90") && col("out_degree") >= 3, "EntryPoint")
+          .when(col("utility_score") >= col("utility_p75") && col("in_degree") > 0, "Utility")
+          .otherwise("Connector")
+      )
+      .drop("entry_p90", "utility_p75", "hub_p90")
+
+    tagged
+      .join(Query.pagerank(pn, pe), Seq("node_key"), "left")
+      .withColumn("pagerank", round(coalesce(col("rank"), lit(0.0)), 5))
+      .drop("rank")
+  }
+
+  /** GET_TOP_NODES_BY_IMPORTANCE_QUERY (queries.ts:1124-1139): top-k by
+    * pagerank, node_key tiebreak for a deterministic cross-engine cut.
+    */
+  def top(scoredTable: DataFrame, k: Int): DataFrame =
+    scoredTable.orderBy(desc("pagerank"), col("node_key")).limit(k)
+
+  /** GET_NODES_BY_IMPORTANCE_TAG_QUERY (queries.ts:1101-1122): one tag's
+    * nodes, same ordering contract.
+    */
+  def byTag(scoredTable: DataFrame, tag: String, k: Int): DataFrame =
+    top(scoredTable.where(col("importance_tag") === tag), k)
+}
