@@ -97,6 +97,30 @@ object Probe {
           .mkString("\n"))
         println("[probe] full plan nodes: " + plan.linesIterator.size)
         spark.stop(); return
+      case Some("importance") =>
+        val g = time("graph build") {
+          val b = graft.pipeline.GraphBuild.build(spark, t)
+          (b.nodes.localCheckpoint(), b.edges.localCheckpoint())
+        }
+        val (ipn, ipe) = graft.query.Importance.projection(g._1, g._2)
+        println(s"[probe] importance |V|=${ipn.count()} |E|=${ipe.count()}")
+        val ppn = g._1.where(col("node_type").isin("Request", "Endpoint", "Function"))
+        val ppe = g._2.where(col("edge_type").isin("CALLS", "HANDLER"))
+          .join(ppn.select(col("node_key").as("src_key")), Seq("src_key"), "left_semi")
+          .join(ppn.select(col("node_key").as("dst_key")), Seq("dst_key"), "left_semi")
+        println(s"[probe] kg_pagerank |V|=${ppn.count()} |E|=${ppe.count()}")
+        val ipnC = ipn.localCheckpoint()
+        val ipeC = ipe.localCheckpoint()
+        time("importance pagerank only") {
+          graft.query.Query.pagerank(ipnC, ipeC).localCheckpoint()
+        }
+        time("pagerankOf-equivalent loop") {
+          graft.query.Query.pagerank(ppn, ppe).localCheckpoint()
+        }
+        time("Importance.scored lcp") {
+          graft.query.Importance.scored(g._1, g._2).localCheckpoint()
+        }
+        spark.stop(); return
       case Some("build") =>
         val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
         val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()

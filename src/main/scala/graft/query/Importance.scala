@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.schema.{EdgeTypes, NodeTypes}
+import graft.util.Ckpt._
 
 /** Importance scoring — re-expression of the reference's GDS-backed
   * importance detector (mcp/src/importance/detector.ts:12-166) as one
@@ -76,9 +77,17 @@ object Importance {
     * cross-engine compare (same discipline as kg_pagerank).
     */
   def scored(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val (pn, pe) = projection(nodes, edges)
+    val (pn0, pe0) = projection(nodes, edges)
+    // Materialize the projection once: the degree aggregations, the three
+    // percentile branches and the pagerank loop all plan from it, and
+    // without a checkpoint each branch re-runs the distinct + membership
+    // semi-joins over |E| (measured 31 s -> ~12 s at sf0.1x16).
+    val pn = pn0.lcp()
+    val pe = pe0.lcp()
     val ind = pe.groupBy(col("dst_key").as("node_key")).agg(count(lit(1)).as("in_degree"))
     val outd = pe.groupBy(col("src_key").as("node_key")).agg(count(lit(1)).as("out_degree"))
+    // |V|-sized scored table, materialized for the same reason: it feeds
+    // the threshold branches AND the final tag projection.
     val sc = pn
       .join(ind, Seq("node_key"), "left")
       .join(outd, Seq("node_key"), "left")
@@ -86,6 +95,7 @@ object Importance {
       .withColumn("entry_score", col("out_degree").cast("double") / (col("in_degree") + 1))
       .withColumn("utility_score", col("in_degree").cast("double") / (col("out_degree") + 1))
       .withColumn("hub_score", (col("in_degree") * col("out_degree")).cast("double"))
+      .lcp()
 
     // structural entry points are excluded from the threshold population
     // (detector.ts:90-95)
