@@ -6,7 +6,7 @@ import graft.extract.Mentions
 import graft.graphstore.GraphOps
 import graft.link.PathNorm
 import graft.pipeline.GraphBuild
-import graft.query.{Importance, Learnings, Query}
+import graft.query.{AgentSessions, Importance, Learnings, Query}
 import graft.resolve.CallResolver
 import graft.sources.Transcripts
 import graft.util.Ckpt._
@@ -666,6 +666,15 @@ object SparkEntry {
     // A2 corpus profiling (Repo::new_multi_detect analog)
     "kg_profile" -> ((s, dir) =>
       Transcripts.fromEvents(s, dir).groupBy("role", "tool").agg(count(lit(1)).as("n"))),
+    // AgentSession rollup (queries.ts:313-345): one accumulator row per
+    // conversation — turn count, start/end/duration, input vs output token
+    // sums, modal tool
+    "kg_agent_sessions" -> ((s, dir) =>
+      AgentSessions.sessions(Transcripts.fromEvents(s, dir))),
+    // session_stats route (benchmark/sessions.ts:427-520): the per-group
+    // totals the reference loops over all session rows to build
+    "kg_session_stats" -> ((s, dir) =>
+      AgentSessions.stats(AgentSessions.sessions(Transcripts.fromEvents(s, dir)))),
     // B7/D10 instances: alias occurrence -OF-> canonical class, emitted only
     // when the class exists in the dictionary (inner join)
     "kg_instances" -> { (s, dir) =>
@@ -837,6 +846,42 @@ object SparkEntry {
   )
 
   private val O = Transcripts.oracle _
+
+  /** AgentSession rollup CTE — twin of [[AgentSessions.sessions]]: BPE-ish
+    * token sums split by role, min/max timestamps, modal tool with
+    * lexicographic tie-break. Exposes `sess`.
+    */
+  private lazy val sessionsCte: String = """
+    , ptoks AS (
+        SELECT conv_id, ts, tool,
+               CASE WHEN role = 'assistant'
+                    THEN CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                    ELSE 0 END AS out_toks,
+               CASE WHEN role <> 'assistant'
+                    THEN CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                    ELSE 0 END AS in_toks
+        FROM transcripts)
+    , sagg AS (
+        SELECT conv_id, count(*) AS n_turns,
+               min(ts) AS start_time, max(ts) AS end_time,
+               CAST(sum(in_toks) AS BIGINT) AS input_tokens,
+               CAST(sum(out_toks) AS BIGINT) AS output_tokens
+        FROM ptoks GROUP BY 1)
+    , stc AS (
+        SELECT conv_id, tool, count(*) AS c FROM transcripts
+        WHERE tool IS NOT NULL GROUP BY 1, 2)
+    , spt AS (
+        SELECT conv_id, tool AS primary_tool FROM (
+          SELECT conv_id, tool,
+                 row_number() OVER (PARTITION BY conv_id ORDER BY c DESC, tool) AS rn
+          FROM stc) WHERE rn = 1)
+    , sess AS (
+        SELECT a.conv_id, a.n_turns, a.start_time, a.end_time,
+               a.input_tokens, a.output_tokens,
+               a.input_tokens + a.output_tokens AS total_tokens,
+               epoch_ms(a.end_time) - epoch_ms(a.start_time) AS duration_ms,
+               coalesce(p.primary_tool, 'none') AS primary_tool
+        FROM sagg a LEFT JOIN spt p USING (conv_id))"""
 
   /** DuckDB twin of [[graft.query.Learnings.learnings]]: arg-min by the
     * unique within-conversation turn_idx under a role filter = Spark's
@@ -1535,6 +1580,17 @@ object SparkEntry {
     "kg_profile" -> O(
       "SELECT role, tool, count(*) AS n FROM transcripts GROUP BY 1, 2"
     ),
+    "kg_agent_sessions" -> O(sessionsCte + "\nSELECT * FROM sess"),
+    "kg_session_stats" -> O(sessionsCte + """
+      SELECT primary_tool,
+             count(*) AS sessions,
+             CAST(sum(n_turns) AS BIGINT) AS n_turns,
+             CAST(sum(input_tokens) AS BIGINT) AS input_tokens,
+             CAST(sum(output_tokens) AS BIGINT) AS output_tokens,
+             CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(duration_ms) AS BIGINT) AS duration_ms
+      FROM sess GROUP BY 1
+    """),
     "kg_instances" -> Oracles.withGraph(
       "SELECT DISTINCT name, canonical FROM rents"
     ),
