@@ -6,7 +6,7 @@ import graft.extract.Mentions
 import graft.graphstore.GraphOps
 import graft.link.PathNorm
 import graft.pipeline.GraphBuild
-import graft.query.{AgentSessions, Importance, Learnings, Query}
+import graft.query.{AgentSessions, Hints, Importance, Learnings, Query}
 import graft.resolve.CallResolver
 import graft.sources.Transcripts
 import graft.util.Ckpt._
@@ -228,12 +228,25 @@ object SparkEntry {
       Importance.scored(g.nodes, g.edges).lcp()
     }
 
+  /** Hint overlay table (queries.ts:88-98), shared by the four hint
+    * queries; see [[Hints]] for the derivation.
+    */
+  private val hintsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def hintsOf(s: SparkSession, dir: String): DataFrame =
+    cached(hintsCache)(s, dir) {
+      val re = CallResolver.resolveEntities(
+        s, mentionsOf(s, dir).where(col("mention_type") === "Entity"))
+      Hints.hints(Transcripts.fromEvents(s, dir), re).lcp()
+    }
+
   private[graft] def prime(s: SparkSession, dir: String): Unit = {
     mentionsOf(s, dir)
     graphOf(s, dir)
     nodeEmbOf(s, dir)
     pagerankOf(s, dir)
     importanceOf(s, dir)
+    hintsOf(s, dir)
     learningsOf(s, dir)
     incStateOf(s, dir)
     snapStoreOf(s, dir)
@@ -399,6 +412,14 @@ object SparkEntry {
     // Learning + Scope system (learnings.ts:19-196, neo4j.ts:962-1090):
     // get_all_learnings_with_scopes / get_all_scopes / post_relevant_learnings
     "kg_learnings" -> ((s, dir) => learningsOf(s, dir)),
+    // Hint overlay (queries.ts:88-98,307-311,356-386): Q&A hints with
+    // entity anchors, per-anchor SIBLING chains, orphan/no-sibling
+    // maintenance reads
+    "kg_hints" -> ((s, dir) => hintsOf(s, dir)),
+    "kg_hints_orphaned" -> ((s, dir) => Hints.orphaned(hintsOf(s, dir))),
+    "kg_hint_siblings" -> ((s, dir) => Hints.siblings(hintsOf(s, dir))),
+    "kg_hints_without_siblings" -> ((s, dir) =>
+      Hints.withoutSiblings(hintsOf(s, dir))),
     "kg_scopes" -> ((s, dir) => Learnings.scopesOver(learningsOf(s, dir))),
     "kg_relevant_learnings" -> ((s, dir) =>
       Learnings.relevantOver(learningsOf(s, dir), LearningsPrompt, 25)),
@@ -846,6 +867,33 @@ object SparkEntry {
   )
 
   private val O = Transcripts.oracle _
+
+  /** Hint overlay CTE — twin of [[Hints]]: conv-local IGNORE NULLS answer
+    * window, dictionary anchor via `rents`, per-anchor lag chain. Exposes
+    * `hintsA` (the hint table) and `hsib` (the SIBLING pairs). Needs the
+    * graph CTEs (for `rents`), so compose with Oracles.withGraph.
+    */
+  private lazy val hintsCte: String = """
+    , hq AS (
+        SELECT conv_id, turn_idx, role, text,
+               first_value(CASE WHEN role = 'assistant' THEN text END IGNORE NULLS)
+                 OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS answer
+        FROM transcripts)
+    , hintsT AS (
+        SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS hint_key,
+               conv_id, turn_idx, text AS question, answer
+        FROM hq WHERE role = 'user')
+    , hanchor AS (SELECT conv_id, turn_idx, min(canonical) AS anchor FROM rents GROUP BY 1, 2)
+    , hintsA AS (
+        SELECT h.hint_key, h.conv_id, h.turn_idx, h.question, h.answer, a.anchor
+        FROM hintsT h LEFT JOIN hanchor a USING (conv_id, turn_idx))
+    , hsib AS (
+        SELECT * FROM (
+          SELECT lag(hint_key) OVER (PARTITION BY conv_id, anchor ORDER BY turn_idx) AS src_hint,
+                 hint_key AS dst_hint, anchor
+          FROM hintsA WHERE anchor IS NOT NULL)
+        WHERE src_hint IS NOT NULL)"""
 
   /** AgentSession rollup CTE — twin of [[AgentSessions.sessions]]: BPE-ish
     * token sums split by role, min/max timestamps, modal tool with
@@ -1580,6 +1628,15 @@ object SparkEntry {
     "kg_profile" -> O(
       "SELECT role, tool, count(*) AS n FROM transcripts GROUP BY 1, 2"
     ),
+    "kg_hints" -> Oracles.withGraph(hintsCte + "\nSELECT * FROM hintsA"),
+    "kg_hints_orphaned" -> Oracles.withGraph(
+      hintsCte + "\nSELECT * FROM hintsA WHERE answer IS NULL"),
+    "kg_hint_siblings" -> Oracles.withGraph(hintsCte + "\nSELECT * FROM hsib"),
+    "kg_hints_without_siblings" -> Oracles.withGraph(hintsCte + """
+      SELECT * FROM hintsA h
+      WHERE NOT EXISTS (SELECT 1 FROM hsib s
+                        WHERE s.src_hint = h.hint_key OR s.dst_hint = h.hint_key)
+    """),
     "kg_agent_sessions" -> O(sessionsCte + "\nSELECT * FROM sess"),
     "kg_session_stats" -> O(sessionsCte + """
       SELECT primary_tool,
