@@ -433,6 +433,13 @@ object SparkEntry {
     "kg_coverage_kinds" -> ((s, dir) => {
       val g = graphOf(s, dir); Query.coverageByKind(g.nodes, g.edges)
     }),
+    // /tests/nodes per-node coverage listing (standalone coverage.rs:74-160):
+    // Functions with distinct-test-caller counts + body stats, offset/limit
+    // paginated via TakeOrdered
+    "kg_coverage_nodes" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      Query.coverageNodes(g.nodes, g.edges, "Function", "all", offset = 5, limit = 15)
+    }),
     // G10 pagerank over the projected Request->Endpoint->Function graph
     // (oracle: the 20-iteration loop unrolled as chained CTEs)
     "kg_pagerank" -> { (s, dir) =>
@@ -1468,6 +1475,24 @@ object SparkEntry {
                            AND s.node_type IN ('UnitTest','IntegrationTest','E2etest')
                            AND e.dst_key = n.node_key)) AS test_covered_functions
       )
+    """),
+    "kg_coverage_nodes" -> Oracles.withGraph("""
+      , tsrc AS (SELECT node_key FROM nodes WHERE node_type IN ('UnitTest','IntegrationTest','E2etest'))
+      , tcnt AS (
+          SELECT e.dst_key AS node_key, count(DISTINCT e.src_key) AS test_count
+          FROM edges e JOIN tsrc t ON t.node_key = e.src_key
+          WHERE e.edge_type = 'CALLS' GROUP BY 1)
+      , clist AS (
+          SELECT n.node_key, n.name,
+                 CAST(coalesce(c.test_count, 0) AS BIGINT) AS test_count,
+                 CAST(length(n.body) AS BIGINT) AS body_length,
+                 CAST(len(string_split(n.body, chr(10))) AS BIGINT) AS line_count
+          FROM nodes n LEFT JOIN tcnt c ON c.node_key = n.node_key
+          WHERE n.node_type = 'Function')
+      SELECT * FROM (
+        SELECT *, CAST(row_number() OVER (ORDER BY test_count DESC, node_key) AS INTEGER) AS rn
+        FROM clist)
+      WHERE rn > 5 AND rn <= 20
     """),
     "kg_coverage_kinds" -> Oracles.withGraph("""
       , nmat AS MATERIALIZED (

@@ -727,6 +727,53 @@ object Query {
       .select("name", "n_calls", "rn")
   }
 
+  /** Per-node coverage listing — the standalone /tests/nodes route
+    * (standalone/src/handlers/coverage.rs:74-160): nodes of one type with
+    * their covering-test count (distinct test callers), a
+    * tested/untested/all filter, test_count-desc ordering and offset/limit
+    * pagination, plus the route's optional body stats (body_length,
+    * line_count). Scale shape: the cut is TakeOrdered(offset+limit) — no
+    * global sort — and the pagination window runs over that tiny slice.
+    */
+  def coverageNodes(
+      nodes: DataFrame,
+      edges: DataFrame,
+      nodeType: String = "Function",
+      coverage: String = "all",
+      offset: Int = 0,
+      limit: Int = 20
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val testSrcs = nodes
+      .where(col("node_type").isin("UnitTest", "IntegrationTest", "E2etest"))
+      .select(col("node_key").as("src_key"))
+    val counts = edges
+      .where(col("edge_type") === "CALLS")
+      .join(testSrcs, Seq("src_key"), "left_semi")
+      .groupBy(col("dst_key").as("node_key"))
+      .agg(count_distinct(col("src_key")).as("test_count"))
+    val listed = nodes
+      .where(col("node_type") === nodeType)
+      .join(counts, Seq("node_key"), "left")
+      .na.fill(0L, Seq("test_count"))
+      .where(coverage match {
+        case "tested"   => col("test_count") > 0
+        case "untested" => col("test_count") === 0
+        case _          => lit(true)
+      })
+      .select(
+        col("node_key"), col("name"), col("test_count"),
+        length(col("body")).cast("long").as("body_length"),
+        size(split(col("body"), "\n", -1)).cast("long").as("line_count"))
+    listed
+      .orderBy(col("test_count").desc, col("node_key"))
+      .limit(offset + limit)
+      .withColumn(
+        "rn",
+        row_number().over(Window.orderBy(col("test_count").desc, col("node_key"))))
+      .where(col("rn") > offset)
+  }
+
   /** G11 coverage (neo4j/operations/coverage.rs:16-41): share of Function
     * nodes with at least one incoming CALLS edge (any caller), plus the
     * reference's actual metric — share covered by a TEST caller (the
