@@ -304,4 +304,31 @@ class QuerySpec extends SparkSpec {
     assert(cov._1 - cov._2 == uncalled)
     assert(cov._3 <= cov._2, "test-covered functions are a subset of called functions")
   }
+
+  test("coverageNodes: distinct test callers, filters, offset pagination") {
+    val nodes = Seq(
+      ("Function", "f1", "fa", "l1\nl2"), // 2 tests
+      ("Function", "f2", "fb", ""),       // 1 test
+      ("Function", "f3", "fc", "x"),      // untested
+      ("UnitTest", "u1", "ut", ""), ("E2etest", "e1", "et", ""),
+      ("Turn", "t1", "tt", "")
+    ).toDF("node_type", "node_key", "name", "body")
+    val edges = Seq(
+      ("CALLS", "u1", "f1"), ("CALLS", "e1", "f1"),
+      ("CALLS", "u1", "f1"), // duplicate edge: callers counted DISTINCT
+      ("CALLS", "u1", "f2"),
+      ("CALLS", "t1", "f3")  // non-test caller must not count
+    ).toDF("edge_type", "src_key", "dst_key")
+    val all = Query.coverageNodes(nodes, edges, "Function", "all", 0, 10)
+      .select("node_key", "test_count", "line_count")
+      .as[(String, Long, Long)].collect()
+    assert(all.map(r => r._1 -> r._2).toMap == Map("f1" -> 2L, "f2" -> 1L, "f3" -> 0L))
+    assert(all.head._1 == "f1" && all.head._3 == 2L, "ordered by test_count desc; 2 lines")
+    val untested = Query.coverageNodes(nodes, edges, "Function", "untested", 0, 10)
+      .select("node_key").as[String].collect().toSeq
+    assert(untested == Seq("f3"))
+    val page2 = Query.coverageNodes(nodes, edges, "Function", "tested", 1, 1)
+      .select("node_key").as[String].collect().toSeq
+    assert(page2 == Seq("f2"), "offset=1 limit=1 of the tested list")
+  }
 }
