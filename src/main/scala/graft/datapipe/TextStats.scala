@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** BPE-ish subword pattern (runs of letters / digits / single other
+    * chars) — THE token estimator: [[tokenCounts]] and the AgentSession
+    * rollup both count with it, so tuning it here keeps dp_token_counts
+    * and kg_agent_sessions in lockstep (their oracle SQL twins carry the
+    * same pattern).
+    */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   private val stopEn = Seq("the", "a", "of", "and", "is", "to", "in")
 
   /** Heuristic n-gram/stopword language ID: share of tokens that are English
@@ -58,7 +66,7 @@ object TextStats {
     docs.select(
       col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
-      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_ish_tokens")
+      regexp_count(col("text"), lit(TextStats.BpeIshPattern)).as("bpe_ish_tokens")
     )
 
   /** Content fingerprint: md5 over the sorted distinct token set — a

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object AgentSessions {
 
   private def toks = regexp_count(
-    col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+    col("text"), lit(graft.datapipe.TextStats.BpeIshPattern)).cast("long")
 
   /** One AgentSession row per conversation (LIST_AGENT_SESSIONS analog). */
   def sessions(t: DataFrame): DataFrame = {
