@@ -731,10 +731,12 @@ object SparkEntry {
     // G9 shortest path WITH path reconstruction (min-parent BFS tree)
     "kg_path" -> { (s, dir) =>
       val g = graphOf(s, dir)
-      def keyOf(name: String) = g.nodes
-        .where(col("node_type") === "Entity" && col("name") === name)
-        .select("node_key").first().getString(0)
-      Query.shortestPath(g.edges, keyOf("postgres"), keyOf("kafka"), 4)
+      // both endpoint keys in ONE dimension-scan job (was two first() jobs)
+      val keys = g.nodes
+        .where(col("node_type") === "Entity" && col("name").isin("postgres", "kafka"))
+        .select("name", "node_key").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      Query.shortestPath(g.edges, keys("postgres"), keys("kafka"), 4)
     },
     // D19+D20 full prune: drop uncalled functions AND incident edges
     "kg_pruned_graph" -> { (s, dir) =>

@@ -71,7 +71,11 @@ object Query {
         .withColumn("depth", lit(d + 1))
         .join(visited.select("node_key"), Seq("node_key"), "left_anti")
         .lcp() // truncate iterative lineage (SURVEY.md §7.5)
-      visited = visited.unionByName(next).lcp()
+      // visited accumulates as a LAZY union of the per-level checkpoints —
+      // re-checkpointing it each level would rewrite the whole visited set
+      // (O(depth x |visited|) materialized rows); the anti-join above scans
+      // the <= depth checkpointed leaves instead, which is strictly less work
+      visited = visited.unionByName(next)
       frontier = next
       d += 1
     }
@@ -239,8 +243,9 @@ object Query {
       .lcp()
     var frontier = visited.select("node_key")
     var found = startKey == targetKey
+    var exhausted = false
     var d = 0
-    while (d < maxDepth && !found && !frontier.isEmpty) {
+    while (d < maxDepth && !found && !exhausted) {
       val next = frontier
         .hint("shuffle_hash") // build on the frontier, stream the 2|E| leaf
         .join(undirected, frontier("node_key") === undirected("src_key"))
@@ -251,9 +256,16 @@ object Query {
         .withColumn("depth", lit(d + 1))
         .select("node_key", "depth", "parent")
         .lcp()
-      visited = visited.unionByName(next).lcp()
+      // lazy union (see expand) + ONE fused job answering both loop
+      // conditions — frontier emptiness and target membership — instead of
+      // two separate isEmpty scans per level
+      visited = visited.unionByName(next)
       frontier = next.select("node_key")
-      found = !next.where(col("node_key") === targetKey).isEmpty
+      val (n, hits) = next
+        .agg(count(lit(1)), count(when(col("node_key") === targetKey, 1)))
+        .as[(Long, Long)].first()
+      exhausted = n == 0L
+      found = hits > 0L
       d += 1
     }
     val vc = visited.cache()
