@@ -117,9 +117,9 @@ object SparkEntry {
 
   // prior-run committed snapshot store + SnapshotTable corpus for the
   // snapshot-METADATA incremental entry (the 100 TB path: manifest diff, no
-  // fingerprint scan): corpus dir 1 = turns before 2024-01-08 (the "old"
+  // fingerprint scan): corpus dir 1 = turns before 2024-01-30 (the "old"
   // snapshot the prior run committed its state against), dir 2 = the delta
-  // commit. Returns (storeDir, corpusTable).
+  // commit (the final day's conversations). Returns (storeDir, corpusTable).
   private val snapStoreCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
   private def snapStoreOf(s: SparkSession, dir: String): (String, String) =
@@ -129,10 +129,19 @@ object SparkEntry {
         val corpus = s"$base/corpus"
         val store = s"$base/store"
         val t = Transcripts.fromEvents(s, dir)
-        val cut = col("ts") < lit("2024-01-08").cast("timestamp")
+        // "one new day lands on the standing corpus": conversations are
+        // user-DAYS (they never span the cutoff), so the delta is the last
+        // day's ~3% of conversations — the realistic daily-increment shape
+        // the snapshot queries measure (the fingerprint-path kg_incremental
+        // keeps its own, larger-delta store so both regimes stay covered)
+        val cut = col("ts") < lit("2024-01-30").cast("timestamp")
         graft.checkpoint.SnapshotTable.commit(t.where(cut), corpus, "corpus")
         val v1 = graft.checkpoint.SnapshotTable.read(s, corpus).get
         pipeline.Incremental.commitStateSnapshot(s, store, corpus, Mentions.extract(v1))
+        // graph-side state for the MERGED incremental (the v1 run's own
+        // node table + D16 hit projection) — committed while the corpus
+        // snapshot still IS v1
+        pipeline.Incremental.commitGraphState(s, store, corpus, GraphBuild.build(s, v1).nodes)
         graft.checkpoint.SnapshotTable.commit(t.where(!cut), corpus, "corpus")
         (store, corpus)
       }
@@ -832,6 +841,14 @@ object SparkEntry {
       val (store, corpus) = snapStoreOf(s, dir)
       withMetaKv(pipeline.Incremental.buildFromSnapshotStore(s, store, corpus).nodes)
     },
+    // H1 MERGED incremental: same manifest-diff planning, but unchanged
+    // conversations' text-derived node rows (Turn/Function/Var) come from
+    // the committed node table instead of a corpus re-scan — text is read
+    // for CHANGED conversations only; output ≡ full rebuild (same oracle)
+    "kg_incremental_merged" -> { (s, dir) =>
+      val (store, corpus) = snapStoreOf(s, dir)
+      withMetaKv(pipeline.Incremental.buildFromMergedStore(s, store, corpus).nodes)
+    },
     // D4 find_node_by_name_file_and_meta analog (graph.rs:199-204): lookup
     // filtered on a meta key/value — possible now that nodes carry the bag
     "kg_find_by_meta" -> { (s, dir) =>
@@ -1076,6 +1093,11 @@ object SparkEntry {
         "docs, meta_kv FROM nodes"
     ),
     "kg_incremental_snapshot" -> Oracles.withGraph(
+      "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped, " +
+        "docs, meta_kv FROM nodes"
+    ),
+    // merged incremental must equal the same full rebuild — identical oracle
+    "kg_incremental_merged" -> Oracles.withGraph(
       "SELECT node_type, name, conv_id, turn_idx, body, node_key, ref_id, hash, skipped, " +
         "docs, meta_kv FROM nodes"
     ),

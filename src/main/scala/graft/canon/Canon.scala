@@ -98,12 +98,126 @@ object Canon {
     pairs
   }
 
-  /** Iterative-DataFrame connected components: smallest-label propagation
-    * over undirected pair edges until fixpoint (north rule; SURVEY.md §7.5
-    * item 3 — localCheckpoint per iteration, convergence-count loop).
-    * Output: (name, cluster) where cluster = min name in the component.
+  /** End-to-end size-adaptive clustering: semantically IDENTICAL to
+    * `connectedComponents(names, candidatePairs(names, minJaccard))` — same
+    * shingles, same md5-hex-string MinHash, same band buckets, same exact-
+    * Jaccard gate, same min-name components (CanonSpec asserts equality
+    * against the distributed twin). Under [[DriverCcMaxVertices]] the whole
+    * computation runs on the driver from ONE collect of the name dimension:
+    * the LSH pipeline is ~6 Spark jobs whose fixed overhead dwarfs the work
+    * when the dimension is dictionary-bounded (the common case — it exists
+    * to merge aliases of a known vocabulary). Above the ceiling the
+    * distributed pipeline runs unchanged.
+    */
+  def clusters(names: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val spark = names.sparkSession
+    val n = names.count() // dimension-sized; callers pass a checkpointed frame
+    if (n > DriverCcMaxVertices)
+      return connectedComponentsLoop(names, candidatePairs(names, minJaccard))
+    import spark.implicits._
+    val nm = names.select("name").collect().map(_.getString(0))
+    def md5hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_))
+        .mkString
+    def shinglesOf(x: String): Set[String] = {
+      val l = x.toLowerCase
+      if (l.length < 3) Set.empty
+      else (0 to l.length - 3).map(i => l.substring(i, i + 3)).toSet
+    }
+    val sh = nm.map(x => x -> shinglesOf(x)).toMap
+    val rowsPerBand = K / BANDS
+    val buckets =
+      scala.collection.mutable.HashMap.empty[(Int, String), scala.collection.mutable.ListBuffer[String]]
+    nm.foreach { x =>
+      val s = sh(x)
+      if (s.nonEmpty) { // <3-char names have no shingles, hence no bands
+        val hs = (0 until K).map(i => s.map(g => md5hex(s"$i:$g")).min)
+        (0 until BANDS).foreach { b =>
+          val key = (b, (0 until rowsPerBand).map(r => hs(b * rowsPerBand + r)).mkString("|"))
+          buckets.getOrElseUpdate(key, scala.collection.mutable.ListBuffer.empty) += x
+        }
+      }
+    }
+    val cand = scala.collection.mutable.HashSet.empty[(String, String)]
+    buckets.values.foreach { xs =>
+      val arr = xs.distinct.sorted
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) { cand += ((arr(i), arr(j))); j += 1 }
+        i += 1
+      }
+    }
+    val parent = scala.collection.mutable.HashMap(nm.map(x => x -> x): _*)
+    @annotation.tailrec
+    def find(x: String): String =
+      if (parent(x) == x) x else { parent(x) = parent(parent(x)); find(parent(x)) }
+    cand.foreach { case (a, b) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val inter = (sa & sb).size
+      val uni = sa.size + sb.size - inter
+      if (uni > 0 && inter.toDouble / uni >= minJaccard) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+    }
+    nm.toSeq.map(x => (x, find(x))).toDF("name", "cluster")
+  }
+
+  /** Vertex-count ceiling for the driver-local union-find fast path of
+    * [[connectedComponents]]. The canonical-name dimension is bounded by the
+    * dictionary (it exists to merge aliases of a known entity vocabulary),
+    * so in practice it is broadcast-scale; below this ceiling the iterative
+    * DataFrame loop's fixed per-iteration cost (joins + checkpoint + a
+    * convergence count, x ~3-5 iterations ≈ seconds) dwarfs a <100 ms
+    * driver union-find over the collected pairs. Above it, the distributed
+    * loop runs — correctness is identical (same min-label semantics), only
+    * the execution site adapts to the measured dimension size, like AQE
+    * picking a broadcast join under a size threshold.
+    */
+  val DriverCcMaxVertices: Long = 100000L
+
+  /** Connected components over the candidate-pair graph: cluster = min name
+    * in the component. Size-adaptive: driver union-find under
+    * [[DriverCcMaxVertices]] vertices, iterative-DataFrame smallest-label
+    * propagation (north rule; SURVEY.md §7.5 item 3) above it.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = vertices.sparkSession
+    val n = vertices.count() // dimension-sized; callers pass a checkpointed frame
+    if (n <= DriverCcMaxVertices) {
+      import spark.implicits._
+      val names = vertices.select("name").collect().map(_.getString(0))
+      val prs = pairs.select("name_a", "name_b").collect()
+      val parent = scala.collection.mutable.HashMap(names.map(x => x -> x): _*)
+      @annotation.tailrec
+      def find(x: String): String =
+        if (parent(x) == x) x else { parent(x) = parent(parent(x)); find(parent(x)) }
+      prs.foreach { r =>
+        val (a, b) = (r.getString(0), r.getString(1))
+        if (parent.contains(a) && parent.contains(b)) {
+          val (ra, rb) = (find(a), find(b))
+          // always hang the LARGER root under the smaller, so the final
+          // root of every component IS its min name — the exact fixpoint
+          // the distributed loop converges to
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+      }
+      names.toSeq.map(x => (x, find(x))).toDF("name", "cluster")
+    } else connectedComponentsLoop(vertices, pairs, maxIter)
+  }
+
+  /** The distributed path: smallest-label propagation over undirected pair
+    * edges until fixpoint, localCheckpoint per iteration.
+    */
+  def connectedComponentsLoop(
+      vertices: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 50
+  ): DataFrame = {
     val bi = pairs
       .select(col("name_a").as("src"), col("name_b").as("dst"))
       .unionByName(pairs.select(col("name_b").as("src"), col("name_a").as("dst")))

@@ -35,6 +35,14 @@ object Mentions {
     */
   val extractionInvocations = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test-only row probe: when set, [[extractPartitioned]] counts every
+    * input turn it actually scans into the accumulator — the hard evidence
+    * that an incremental path feeds the extractor ONLY the changed
+    * conversations' text (MergedIncrementalSpec). None in production: the
+    * captured Option is resolved once per plan, not per row.
+    */
+  @volatile var rowProbe: Option[org.apache.spark.util.LongAccumulator] = None
+
   /** Pure-Catalyst extraction over the six-column transcript table. */
   def extract(transcripts: DataFrame): DataFrame = {
     extractionInvocations.incrementAndGet()
@@ -184,12 +192,14 @@ object Mentions {
       .select("conv_id", "turn_idx", "role", "text", "tool")
       .as[(String, Int, String, String, Option[String])]
 
+    val probe = rowProbe // resolve the hook once, on the driver
     t.mapPartitions { rows =>
       // compile matchers once per partition (reference B1 query cache analog)
       val trie = new Trie(dictBc.value)
       val handlerRe = java.util.regex.Pattern.compile(Dictionary.handlerPattern)
       val verbPathRe = java.util.regex.Pattern.compile(Dictionary.verbPathPattern)
       rows.flatMap { case (conv, idx, role, text, tool) =>
+        probe.foreach(_.add(1L))
         val out = scala.collection.mutable.ListBuffer[MentionRow]()
         trie.scan(text).foreach { a =>
           out += MentionRow(conv, idx, "Entity", a, None, None)

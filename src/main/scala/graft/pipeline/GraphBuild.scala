@@ -34,6 +34,52 @@ object GraphBuild {
 
   final case class Graph(nodes: DataFrame, edges: DataFrame, mentions: DataFrame)
 
+  /** Committed state consumed by the MERGED incremental build
+    * ([[buildMerged]]): the prior run's own outputs, re-read instead of
+    * recomputed, so corpus TEXT is only ever scanned for changed
+    * conversations.
+    *
+    *  - `localNodes`: committed node rows of the text-derived, conversation-
+    *    local node types (Turn / Function / Var) restricted by the caller to
+    *    UNCHANGED conversations — for a conversation whose content did not
+    *    change these rows are byte-identical to what a full rebuild would
+    *    recompute, so they merge verbatim;
+    *  - `dmHits`: the FULL merged (fn_name, conv_id, canonical) projection
+    *    of the D16 body-contains scan (the only other text consumer) —
+    *    committed rows for unchanged conversations plus a delta-only scan;
+    *  - `fullMeta`: the text-free (conv_id, turn_idx, role, tool) projection
+    *    of the ENTIRE current corpus — parquet column pruning keeps this at
+    *    a fraction of the bytes (text dominates transcript storage), and at
+    *    100 TB it is the pruned-scan an Iceberg table serves natively.
+    */
+  final case class MergedStores(localNodes: DataFrame, dmHits: DataFrame, fullMeta: DataFrame)
+
+  /** The conversation-local, text-derived node types a merged incremental
+    * run reuses from the committed node table (everything else is either
+    * text-free — recomputed exactly from mentions/resolution — or a global
+    * dimension whose membership can shift when ANY conversation changes).
+    */
+  val MergedLocalTypes: Seq[String] = Seq(NodeTypes.Turn, NodeTypes.Function, NodeTypes.Var)
+
+  /** The conversation-local, pre-canonicalization projection of the D16
+    * body-contains scan: (fn_name, conv_id, canonical) per tool turn whose
+    * text names a dictionary alias. This is the ONLY text consumer outside
+    * the spine/docs/var branches, so committing it (and merging a delta-only
+    * scan) lets the merged incremental build avoid unchanged text entirely.
+    * Cluster identity is applied downstream (it is global and can change).
+    */
+  def dmHitsProjection(spark: SparkSession, t: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dictDf = graft.extract.Dictionary.aliasToCanonical.toSeq.toDF("alias", "canonical")
+    t.where(col("role") === "tool")
+      .select(col("conv_id"), col("text"),
+        regexp_extract(col("text"), graft.extract.Dictionary.handlerPattern, 1).as("fn_name"))
+      .where(length(col("fn_name")) > 0)
+      .join(broadcast(dictDf), instr(col("text"), col("alias")) > 0)
+      .select(col("fn_name"), col("conv_id"), col("canonical"))
+      .distinct()
+  }
+
   /** Guard for the MERGE invariant the build relies on instead of a global
     * dedup exchange: every branch emits key-unique rows by construction.
     * That holds for the current extractors over well-formed input, but
@@ -183,6 +229,28 @@ object GraphBuild {
     buildCore(spark, t, mentions)
   }
 
+  /** MERGED incremental build (the reference's remove-by-file + rebuild-
+    * changed + restore shape, graph_ops.rs:95-274, made exact): corpus text
+    * flows ONLY through `deltaT` (the changed conversations); Turn/Function/
+    * Var node rows of unchanged conversations come verbatim from the
+    * committed node table, the D16 text scan from the committed dm_hits
+    * projection, and every remaining branch — global dimensions, resolution,
+    * all edges — recomputes from the (text-free) merged mention table plus
+    * the column-pruned `fullMeta` corpus projection. Output is byte-
+    * identical to a full rebuild over the current corpus (same oracle as
+    * kg_incremental_snapshot; MergedIncrementalSpec asserts nodes AND edges
+    * equal, and that the extractor touches only changed conversations).
+    */
+  def buildMerged(
+      spark: SparkSession,
+      deltaT: DataFrame,
+      mentions: DataFrame,
+      stores: MergedStores
+  ): Graph = {
+    val t = deltaT.repartition(col("conv_id")).lcp(eager = false)
+    buildCore(spark, t, mentions, merged = Some(stores))
+  }
+
   /** Resume entry point for [[CheckpointedBuild]]: EVERY expensive upstream
     * stage — mentions, call resolution, entity resolution, api links — is a
     * committed table read back from disk, so a resumed run performs zero
@@ -209,14 +277,36 @@ object GraphBuild {
       mentions0: DataFrame,
       preResolvedCalls: Option[DataFrame] = None,
       preResolvedEntities: Option[DataFrame] = None,
-      preApiLinks: Option[DataFrame] = None
+      preApiLinks: Option[DataFrame] = None,
+      merged: Option[MergedStores] = None
   ): Graph = {
-    val mentions = mentions0.lcp()
+    // dev-only stage timing (SPARK_GRAFT_PROBE=1): prints the eager steps of
+    // graph construction so plan-build cost is attributable
+    val probeOn = sys.env.contains("SPARK_GRAFT_PROBE")
+    def probe[A](label: String)(f: => A): A =
+      if (!probeOn) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[buildcore] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    val mentions = probe("mentions lcp")(mentions0.lcp())
     // Text-free twin of the corpus checkpoint: ~6 dimension/edge branches
     // need only (conv_id, turn_idx, role, tool) but an RDD-leaf scan always
     // deserializes whole rows — through the narrow twin they move ~10% of
     // the bytes. Costs one extra full scan to build; saves one per branch.
-    val tMeta = t.select("conv_id", "turn_idx", "role", "tool").lcp(eager = false)
+    // In MERGED mode `t` carries only the CHANGED conversations; the
+    // text-free meta twin must still span the whole corpus (spine dims,
+    // containment/role/tool edges, import sections, call resolution), so it
+    // comes from the stores' column-pruned full-corpus projection instead.
+    val tMeta = merged
+      .map(_.fullMeta.select("conv_id", "turn_idx", "role", "tool").lcp(eager = false))
+      .getOrElse(t.select("conv_id", "turn_idx", "role", "tool").lcp(eager = false))
+    // changed-conversation dimension (merged mode only): scopes the
+    // text-derived node branches to the delta so committed rows merge
+    // without duplication
+    lazy val deltaConvs = broadcast(t.select("conv_id").distinct())
 
     val entityM = mentions.where(col("mention_type") === "Entity")
     val fnDefs = mentions.where(col("mention_type") === "FunctionDef")
@@ -237,20 +327,21 @@ object GraphBuild {
     // one eager materialization of the tiny canonical dimension: every CC
     // consumer (vertices, shingles, candidate pairs) reads the 8-row leaf
     // instead of re-scanning the full mention table per use
-    val canonNames = resolvedEntities0
+    val canonNames = probe("canonNames lcp")(resolvedEntities0
       .select(col("canonical").as("name"))
       .distinct()
-      .lcp()
-    val clusters = graft.canon.Canon
-      .connectedComponents(canonNames, graft.canon.Canon.candidatePairs(canonNames, 0.3))
-      .withColumnRenamed("name", "canonical")
+      .lcp())
+    val clusters = probe("canon CC")(graft.canon.Canon
+      .clusters(canonNames, 0.3)
+      .withColumnRenamed("name", "canonical"))
     val resolvedEntities = resolvedEntities0
       .join(broadcast(clusters), Seq("canonical"))
       .withColumn("canonical", col("cluster"))
       .drop("cluster")
-    val resolvedCalls =
-      preResolvedCalls.getOrElse(CallResolver.resolveCalls(fnCalls, fnDefs, tMeta)).cache()
+    val resolvedCalls = probe("resolveCalls")(
+      preResolvedCalls.getOrElse(CallResolver.resolveCalls(fnCalls, fnDefs, tMeta)).cache())
     val apiLinks = preApiLinks.getOrElse(PathNorm.linkApi(requests, endpoints))
+    val sectionT0 = System.nanoTime()
 
     // B9 nested scopes via a genuine non-equi RANGE join
     // (lang/mod.rs:667-706): a request is NESTED_IN the nearest preceding
@@ -258,7 +349,7 @@ object GraphBuild {
     // The join is conv_id-equi + range filter, so it stays conv-local.
     // Computed up front: feeds both the Request meta bag (nested_in key,
     // graph.rs:199-204 meta lookups) and the NESTED_IN edge branch.
-    val nested0 = requests
+    val nested0Raw = requests
       .select(col("conv_id"), col("turn_idx"), col("name").as("req_name"))
       .join(
         fnDefs.select(col("conv_id"), col("turn_idx").as("def_idx"), col("name").as("fn_name")),
@@ -267,10 +358,78 @@ object GraphBuild {
       .groupBy("conv_id", "turn_idx", "req_name")
       .agg(max(struct(col("def_idx"), col("fn_name"))).as("m"))
       .select(col("conv_id"), col("turn_idx"), col("req_name"), col("m.fn_name").as("fn_name"))
-      .lcp(eager = false) // 2 consumers: Request meta + NESTED_IN edges
+
+    // --- shared mention-derived subtrees, batch-planned -----------------
+    // Each is consumed by 2+ node/edge branches, so each gets a LAZY local
+    // checkpoint (lineage truncation, one computation). Planning them
+    // sequentially cost 3.2-3.7 s of single-threaded driver CPU per build
+    // (localCheckpoint resolves the physical plan at call time even when
+    // lazy); Ckpt.lcpAll overlaps the 8 independent analyses.
+    val instanceIdsRaw = resolvedEntities
+      .select(col("name"), col("canonical"))
+      .distinct()
+    val fnNodes0Raw = fnDefs
+      .groupBy(col("name"), col("conv_id"))
+      .agg(min(col("turn_idx")).as("turn_idx"))
+    val epIdsRaw = endpoints
+      .select(PathNorm.canonical(PathNorm.normalizeBackend(col("path"))).as("name"), col("verb"))
+      .distinct()
+    // B5 get_vars analog: the returned-value binding of each tool turn as a
+    // Var node contained by its turn (reference collects per-file variable
+    // declarations, lang/mod.rs:604-729)
+    val varRows = t
+      .withColumn("retval", regexp_extract(col("text"), "returned ([0-9]+)", 1))
+      .where(length(col("retval")) > 0)
+      .select(col("conv_id"), col("turn_idx"), col("retval"))
+    // text-derived + conv-local, so merged mode unions committed rows; the
+    // CONTAINS edge branch derives from THIS frame (name/conv/turn are the
+    // full edge identity), keeping nodes and edges in lockstep
+    val varNodesRaw = merged
+      .fold(mkNodes(varRows, NodeTypes.Var, col("retval"), col("conv_id"), col("turn_idx"))) {
+        m =>
+          mkNodes(varRows, NodeTypes.Var, col("retval"), col("conv_id"), col("turn_idx"))
+            .unionByName(m.localNodes.where(col("node_type") === NodeTypes.Var))
+      }
+    val e2eRowsRaw = requests
+      .where(col("name").contains("${id}"))
+      .select(col("conv_id"), col("turn_idx"), col("name"),
+        regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("res"))
+    val pageIdsRaw = requests
+      .select(regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("name"))
+      .where(length(col("name")) > 0)
+      .distinct()
+    // pre-cluster hit projection ([[dmHitsProjection]]): recomputed from `t`
+    // in full mode; in merged mode the committed projection (plus the
+    // caller's delta scan) arrives via the stores — cluster identity is
+    // global, so it is applied here in BOTH modes, never persisted
+    val dmWithinRaw = merged
+      .map(_.dmHits)
+      .getOrElse(dmHitsProjection(spark, t))
+      .join(broadcast(clusters), Seq("canonical"))
+      .select(col("fn_name"), col("conv_id"), col("cluster"))
+      .distinct()
+    val planned = probe("batch plan (lcpAll x8)")(graft.util.Ckpt.lcpAll(Seq(
+      nested0Raw, instanceIdsRaw, fnNodes0Raw, epIdsRaw,
+      varNodesRaw, e2eRowsRaw, pageIdsRaw, dmWithinRaw)))
+    val nested0 = planned(0)
+    val instanceIds = planned(1)
+    val fnNodes0 = planned(2)
+    val epIds = planned(3)
+    val varNodes = planned(4)
+    val e2eRows = planned(5)
+    val pageIds = planned(6)
+    val dmWithin = planned(7)
 
     // --- nodes ---------------------------------------------------------
-    val spine = spineNodes(spark, t, tMeta)
+    // Merged mode: Corpus/Conversation/Role rows recompute from the full
+    // text-free meta twin (exact — they never read text); Turn rows come
+    // from the delta text plus the committed rows of unchanged convs.
+    val spine = merged match {
+      case None => spineNodes(spark, t, tMeta)
+      case Some(m) =>
+        spineNodes(spark, t, tMeta)
+          .unionByName(m.localNodes.where(col("node_type") === NodeTypes.Turn))
+    }
 
     val toolNodes = mkNodes(tools.select(col("name")).distinct(),
       NodeTypes.Tool, col("name"), lit(""), lit(-1))
@@ -282,10 +441,6 @@ object GraphBuild {
     // B5/B6/D10 typed entity surface: an Instance node per observed alias
     // surface form, kept distinct from the canonical Entity (class analog) —
     // the OF edge below records instance-of (btreemap_graph.rs:238-255)
-    val instanceIds = resolvedEntities
-      .select(col("name"), col("canonical"))
-      .distinct()
-      .lcp(eager = false) // nodes + OF edge branch
     val instanceNodes = mkNodes(instanceIds.select(col("name")).distinct(),
       NodeTypes.Instance, col("name"), lit(""), lit(-1))
 
@@ -300,15 +455,21 @@ object GraphBuild {
     val fnDocs = Mentions.docsAttach(t)
 
     // function node = first definition turn per (name, conversation)
-    val fnNodes0 = fnDefs
-      .groupBy(col("name"), col("conv_id"))
-      .agg(min(col("turn_idx")).as("turn_idx"))
-      // consumed by ~6 node/edge branches — one shared computation
-      .lcp(eager = false)
-    val fnNodes = mkNodes(
-      fnNodes0.join(fnDocs, Seq("conv_id", "turn_idx", "name"), "left"),
+    // Merged mode: docsAttach (a text scan) runs over the delta only, so the
+    // Function NODE branch is delta-scoped and committed rows of unchanged
+    // convs merge in verbatim; fnNodes0 itself stays FULL (it feeds the
+    // text-free fnFirstDef edge joins below for every conversation).
+    val fnNodesComputed = mkNodes(
+      merged.fold(fnNodes0)(_ => fnNodes0.join(deltaConvs, Seq("conv_id"), "left_semi"))
+        .join(fnDocs, Seq("conv_id", "turn_idx", "name"), "left"),
       NodeTypes.Function, col("name"), col("conv_id"), col("turn_idx"),
       docs = col("docs"), meta = fnMeta(col("conv_id")))
+    val fnNodes = merged match {
+      case None => fnNodesComputed
+      case Some(m) =>
+        fnNodesComputed
+          .unionByName(m.localNodes.where(col("node_type") === NodeTypes.Function))
+    }
 
     // unverified call targets become stub nodes (D13: file "<unverified>")
     val stubNodes = mkNodes(
@@ -317,10 +478,6 @@ object GraphBuild {
       meta = fnMeta(lit("unverified")))
 
     // endpoint identity = (canonical path, verb) after D11 dedup + D14 grouping
-    val epIds = endpoints
-      .select(PathNorm.canonical(PathNorm.normalizeBackend(col("path"))).as("name"), col("verb"))
-      .distinct()
-      .lcp(eager = false) // 4 consumers (nodes, groups, 2 edge branches)
     val epNodes = mkNodes(epIds, NodeTypes.Endpoint, col("name"), lit(""), lit(-1),
       verb = col("verb"),
       meta = map(lit("verb"), col("verb"),
@@ -338,16 +495,6 @@ object GraphBuild {
         map(lit("verb"), col("verb"), lit("nested_in"), col("nested_fn")),
         (_, v) => v.isNotNull))
 
-    // B5 get_vars analog: the returned-value binding of each tool turn as a
-    // Var node contained by its turn (reference collects per-file variable
-    // declarations, lang/mod.rs:604-729)
-    val varRows = t
-      .withColumn("retval", regexp_extract(col("text"), "returned ([0-9]+)", 1))
-      .where(length(col("retval")) > 0)
-      .select(col("conv_id"), col("turn_idx"), col("retval"))
-      .lcp(eager = false) // nodes + CONTAINS edge branch
-    val varNodes = mkNodes(varRows, NodeTypes.Var, col("retval"), col("conv_id"), col("turn_idx"))
-
     // B14/D12 test nodes as graph citizens (asg.rs:248-274; linker.rs:34-235):
     // an IntegrationTest per rerun-call turn (its CALLS edge resolves through
     // the cascade like any call), an E2eTest per template-path request
@@ -355,22 +502,12 @@ object GraphBuild {
       resolvedCalls.select(col("name"), col("conv_id"), col("turn_idx")),
       NodeTypes.IntegrationTest, col("name"), col("conv_id"), col("turn_idx"),
       meta = map(lit("kind"), lit("integration")))
-    val e2eRows = requests
-      .where(col("name").contains("${id}"))
-      .select(col("conv_id"), col("turn_idx"), col("name"),
-        regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("res"))
-      .lcp(eager = false) // nodes + CALLS-page edge branch
     val e2eTestNodes = mkNodes(e2eRows, NodeTypes.E2eTest,
       col("name"), col("conv_id"), col("turn_idx"),
       meta = map(lit("kind"), lit("e2e")))
 
     // B12 pages (get_pages, lang/mod.rs:408-554): the resource surface a
     // user-facing request renders, extracted from the request path
-    val pageIds = requests
-      .select(regexp_extract(col("name"), "^/api/([a-z]+)", 1).as("name"))
-      .where(length(col("name")) > 0)
-      .distinct()
-      .lcp(eager = false)
     val pageNodes = mkNodes(pageIds, NodeTypes.Page, col("name"), lit(""), lit(-1))
 
     // D14 longest-prefix endpoint groups as first-class parent nodes
@@ -391,16 +528,10 @@ object GraphBuild {
       import spark.implicits._
       graft.extract.Dictionary.aliasToCanonical.toSeq.toDF("alias", "canonical")
     }
-    val dmWithin = t
-      .where(col("role") === "tool")
-      .select(col("conv_id"), col("text"),
-        regexp_extract(col("text"), graft.extract.Dictionary.handlerPattern, 1).as("fn_name"))
-      .where(length(col("fn_name")) > 0)
-      .join(broadcast(dictDf), instr(col("text"), col("alias")) > 0)
-      .join(broadcast(clusters), Seq("canonical"))
-      .select(col("fn_name"), col("conv_id"), col("cluster"))
-      .distinct()
-      .lcp(eager = false) // nodes + CONTAINS edge branch
+    // Pre-cluster hit projection ([[dmHitsProjection]]): recomputed from `t`
+    // in full mode; in merged mode the committed projection (plus the
+    // caller's delta scan) arrives via the stores — cluster identity is
+    // global, so it is applied here in BOTH modes, never persisted.
     val dmNodes = mkNodes(dmWithin.select(col("cluster")).distinct(),
       NodeTypes.DataModel, col("cluster"), lit(""), lit(-1))
 
@@ -587,11 +718,12 @@ object GraphBuild {
         fnKey(col("fn_name"), col("conv_id"), col("def_turn")),
         dmKey(col("cluster")), strat = lit("data_model")): _*)
 
-    // B5: turn -CONTAINS-> its Var binding
-    val varContainsE = varRows
+    // B5: turn -CONTAINS-> its Var binding (from the Var NODE frame, which
+    // in merged mode already spans committed + delta conversations)
+    val varContainsE = varNodes
       .select(edge(EdgeTypes.Contains,
         turnKey(col("conv_id"), col("turn_idx")),
-        varKey(col("retval"), col("conv_id"), col("turn_idx")),
+        varKey(col("name"), col("conv_id"), col("turn_idx")),
         strat = lit("var_decl")): _*)
 
     // HANDLER: endpoint identity -> handler function of the declaring turn
@@ -625,7 +757,10 @@ object GraphBuild {
     // node -IMPORTS-> each Tool it names (parse/collect.rs:424-581)
     def importKey(c: Column, i: Column) =
       Keys.nodeKey(lit(NodeTypes.Import), lit("imports"), c, i)
-    val importsE = t
+    // sourced from the text-free meta twin (NOT `t`): identical columns in
+    // full mode, and in merged mode the twin spans the whole corpus while
+    // `t` carries only the delta
+    val importsE = tMeta
       .where(col("tool").isNotNull)
       .select(col("conv_id"), col("tool"))
       .distinct()
@@ -744,6 +879,7 @@ object GraphBuild {
     // would re-shuffle all ~N_edges wide rows to eliminate nothing — the
     // oracle's SELECT DISTINCT edges proves the no-dup invariant each round.
 
+    probe(f"node/edge construction section (${(System.nanoTime() - sectionT0) / 1e9}%.2f s actual)")(())
     Graph(nodes, edges, mentions)
   }
 }

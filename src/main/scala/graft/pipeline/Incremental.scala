@@ -211,6 +211,83 @@ object Incremental {
     SnapPlan(changed, removedConvs, added, removed)
   }
 
+  /** Commit the GRAPH-side state a merged incremental run consumes on top of
+    * [[commitStateSnapshot]]: the run's own node table (whose Turn/Function/
+    * Var rows are the only text-derived, conversation-local node rows — see
+    * [[GraphBuild.MergedLocalTypes]]) and the pre-cluster D16 hit projection.
+    * Both are outputs/by-products the pipeline materializes anyway; at
+    * 100 TB this is "keep what you already wrote", not an extra scan.
+    */
+  def commitGraphState(
+      spark: SparkSession,
+      baseDir: String,
+      corpusTable: String,
+      nodes: DataFrame
+  ): Unit = {
+    val t = SnapshotTable.read(spark, corpusTable).get
+    SnapshotTable.commit(nodes, s"$baseDir/nodes_store", "nodes")
+    SnapshotTable.commit(
+      GraphBuild.dmHitsProjection(spark, t), s"$baseDir/dm_hits", "dm_hits")
+  }
+
+  /** MERGED snapshot-metadata incremental — the full remove+rebuild+restore
+    * shape of the reference's `update_incremental` (graph_ops.rs:95-274),
+    * made exact: manifest diff in, full graph out, and corpus TEXT read only
+    * for changed conversations. Unchanged conversations contribute their
+    * committed mention rows, committed Turn/Function/Var node rows, and
+    * committed D16 hit rows; everything global recomputes from those
+    * text-free tables plus the column-pruned corpus meta projection. Output
+    * ≡ `GraphBuild.build` over the current corpus (same oracle as
+    * kg_incremental_snapshot; MergedIncrementalSpec asserts nodes AND edges
+    * byte-equal and delta-only extraction).
+    */
+  def buildFromMergedStore(
+      spark: SparkSession,
+      baseDir: String,
+      corpusTable: String
+  ): GraphBuild.Graph = {
+    val probeOn = sys.env.contains("SPARK_GRAFT_PROBE")
+    def probe[A](label: String)(f: => A): A =
+      if (!probeOn) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[mergedstore] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    val p = probe("planFromSnapshots")(planFromSnapshots(spark, baseDir, corpusTable))
+    def stored(name: String) = SnapshotTable
+      .read(spark, s"$baseDir/$name")
+      .getOrElse(sys.error(s"no committed $name table under $baseDir"))
+    val mentions = stored("mentions_store")
+    val committedNodes = stored("nodes_store")
+    val committedDmHits = stored("dm_hits")
+    val newT = SnapshotTable.read(spark, corpusTable).get
+    val changed = probe("changed lcp")(p.changed.lcp())
+    val gone = probe("gone lcp")(p.removed.lcp())
+    def unchangedOnly(df: DataFrame) = df
+      .join(broadcast(changed), Seq("conv_id"), "left_anti")
+      .join(broadcast(gone), Seq("conv_id"), "left_anti")
+    val deltaT = newT.join(broadcast(changed), Seq("conv_id"), "left_semi")
+    val deltaMentions = Mentions
+      .extractPartitioned(
+        spark,
+        deltaT.where(length(col("text")) <= GraphBuild.MaxTurnChars)
+      )
+      .toDF()
+    val localNodes = unchangedOnly(
+      committedNodes.where(
+        col("node_type").isin(GraphBuild.MergedLocalTypes: _*) &&
+          col("conv_id") =!= "unverified"))
+    val dmHitsAll = unchangedOnly(committedDmHits)
+      .unionByName(GraphBuild.dmHitsProjection(spark, deltaT))
+    probe("buildMerged total")(GraphBuild.buildMerged(
+      spark,
+      deltaT,
+      unchangedOnly(mentions).unionByName(deltaMentions),
+      GraphBuild.MergedStores(localNodes, dmHitsAll, newT)))
+  }
+
   /** End-to-end snapshot-metadata incremental: manifest diff in, full graph
     * out, with extraction confined to changed conversations and zero
     * fingerprint scan. Output ≡ `GraphBuild.build` over the current corpus

@@ -62,4 +62,22 @@ class CanonSpec extends SparkSpec {
     val b2 = Canon.bands(Canon.shingles(names.repartition(7)))
     assertSameRows(b1, b2)
   }
+
+  test("driver union-find fast path ≡ distributed label-propagation loop") {
+    // ring + a chain + singletons: exercises transitive merging both ways
+    val vs = ((0 until 10).map(i => f"r$i%02d") ++ Seq("c0", "c1", "c2", "solo")).toDF("name")
+    val edges = ((0 until 10)
+      .map(i => (f"r$i%02d", f"r${(i + 1) % 10}%02d"))
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) } ++
+      Seq(("c0", "c1"), ("c1", "c2"))).toDF("name_a", "name_b")
+    val fast = Canon.connectedComponents(vs, edges) // n << threshold: driver path
+    val loop = Canon.connectedComponentsLoop(vs, edges)
+    assertSameRows(fast, loop)
+  }
+
+  test("adaptive driver clustering ≡ distributed LSH pipeline end-to-end") {
+    val adaptive = Canon.clusters(names, 0.3)
+    val distributed = Canon.connectedComponentsLoop(names, Canon.candidatePairs(names, 0.3))
+    assertSameRows(adaptive, distributed)
+  }
 }
