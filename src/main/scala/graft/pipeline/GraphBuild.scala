@@ -596,10 +596,11 @@ object GraphBuild {
     // with NO global dedup either, so parity checks the invariant every
     // round; the write path (SnapshotTable overwrite) supplies MERGE-on-
     // rewrite semantics for incremental runs.
-    val nodes = Seq(spine, toolNodes, entityNodes, fnNodes, stubNodes, epNodes, reqNodes,
-      importNodes, pageNodes, groupNodes, instanceNodes, dmNodes, varNodes,
-      integTestNodes, e2eTestNodes, classNodes, traitNodes, unitTestNodes, mockNodes)
-      .reduce(_ unionByName _)
+    val nodes = probe("nodes union")(
+      Seq(spine, toolNodes, entityNodes, fnNodes, stubNodes, epNodes, reqNodes,
+        importNodes, pageNodes, groupNodes, instanceNodes, dmNodes, varNodes,
+        integTestNodes, e2eTestNodes, classNodes, traitNodes, unitTestNodes, mockNodes)
+        .reduce(_ unionByName _))
 
     // --- edges ---------------------------------------------------------
     def edgeC(et: Column, src: Column, dst: Column, conf: Column = nullConf,
@@ -668,7 +669,7 @@ object GraphBuild {
     val fnFirstDef = fnNodes0.select(col("name"), col("conv_id").as("resolved_conv"),
       col("turn_idx").as("def_turn"))
     // 2 consumers (turn-src + test-src edges): share the resolved-target join
-    val resolvedTargets = resolvedCalls
+    val resolvedTargets = probe("resolvedTargets lcp")(resolvedCalls
       .join(
         fnFirstDef.withColumnRenamed("name", "resolved_name"),
         Seq("resolved_name", "resolved_conv"),
@@ -677,7 +678,7 @@ object GraphBuild {
         "target_key",
         when(col("def_turn").isNull, fnKey(col("name"), lit("unverified"), lit(-1)))
           .otherwise(fnKey(col("resolved_name"), col("resolved_conv"), col("def_turn"))))
-      .lcp(eager = false)
+      .lcp(eager = false))
     val callsFn = resolvedTargets
       .select(edgeC(
         callEdgeType,
