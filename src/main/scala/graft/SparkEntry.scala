@@ -138,10 +138,20 @@ object SparkEntry {
         graft.checkpoint.SnapshotTable.commit(t.where(cut), corpus, "corpus")
         val v1 = graft.checkpoint.SnapshotTable.read(s, corpus).get
         pipeline.Incremental.commitStateSnapshot(s, store, corpus, Mentions.extract(v1))
-        // graph-side state for the MERGED incremental (the v1 run's own
-        // node table + D16 hit projection) — committed while the corpus
-        // snapshot still IS v1
-        pipeline.Incremental.commitGraphState(s, store, corpus, GraphBuild.build(s, v1).nodes)
+        // graph-side state for the MERGED incremental, committed while the
+        // corpus snapshot still IS v1. The rows the merged build consumes
+        // from this store are the CONVERSATION-LOCAL types only
+        // (MergedLocalTypes), and conv-local rows are byte-identical whether
+        // computed by a v1 run or projected from the session's full graph —
+        // so the store is written from the already-cached graph restricted
+        // to exactly what a v1 run would have committed for those types,
+        // instead of paying a second full build at prime time.
+        // (MergedIncrementalSpec commits a TRUE v1 run's nodes, so the
+        // store contract itself stays proven without the shortcut.)
+        val v1LocalNodes = graphOf(s, dir).nodes
+          .where(col("node_type").isin(GraphBuild.MergedLocalTypes: _*))
+          .join(v1.select("conv_id").distinct(), Seq("conv_id"), "left_semi")
+        pipeline.Incremental.commitGraphState(s, store, corpus, v1LocalNodes)
         graft.checkpoint.SnapshotTable.commit(t.where(!cut), corpus, "corpus")
         (store, corpus)
       }
