@@ -185,27 +185,52 @@ object Bench {
     val runScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
 
+    // Headline reps: ONE FRESH CHILD JVM PER REP (default; exactly the
+    // isolation the scaling legs already use). Round 4's driver median was
+    // destroyed by shared-JVM GC residency — five reps in one long-lived
+    // ~100 GB heap measured per-rep GC of [29.3, 4.5, 2.1, 15.9, 26.9] s and
+    // a 67–183 s spread on identical work. A per-rep JVM makes reps i.i.d.:
+    // each child pays its own untimed 1/8-scale warmup (JIT + first-touch),
+    // builds once, reports, and dies — no block residency can leak across
+    // reps. Runs BEFORE the parent session exists so children never compete
+    // with a populated parent heap. SPARK_GRAFT_ISOLATE_REPS=0 restores the
+    // in-JVM loop (dev fast path).
+    val isolateReps = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_REPS", "1") != "0"
+    val isolated: Seq[(Double, Long, Long, Double, Double)] =
+      if (!isolateReps) Seq.empty
+      else (1 to math.max(1, reps)).flatMap { _ =>
+        HeadlineLeg.runIsolated(sfDir, scale, cpus, parts)
+      }
+
     val spark = session(cpus, parts)
     aqe(spark, on = false)
-    // untimed warmup at 1/8 scale: the full code path JIT-compiles and the
-    // heap takes its first-touch page faults OUTSIDE the timed reps (round-3
-    // rep 1 ran 267 s vs 70 s for rep 3 on an idle box)
-    timedBuild(spark, sfDir, math.max(1, scale / 8))
-    purgeExcept(spark, Set.empty)
-    System.gc()
-    var gcPrev = gcMillis
     val gcSecs = scala.collection.mutable.ListBuffer.empty[Double]
-    val runs = (1 to math.max(1, reps)).map { _ =>
-      val r = timedBuild(spark, sfDir, scale)
-      // release the rep's checkpoint/cache blocks before the next rep: the
-      // shared caches are not populated yet, so everything is garbage here
-      purgeExcept(spark, Set.empty)
-      System.gc()
-      val gcNow = gcMillis
-      gcSecs += (gcNow - gcPrev) / 1e3
-      gcPrev = gcNow
-      r
-    }
+    val runs: Seq[(Double, Long, Long, Double)] =
+      if (isolated.nonEmpty) {
+        gcSecs ++= isolated.map(_._5)
+        isolated.map(r => (r._1, r._2, r._3, r._4))
+      } else {
+        // in-JVM fallback (SPARK_GRAFT_ISOLATE_REPS=0, or every child died):
+        // untimed warmup at 1/8 scale so the full code path JIT-compiles and
+        // the heap takes its first-touch page faults OUTSIDE the timed reps
+        // (round-3 rep 1 ran 267 s vs 70 s for rep 3 on an idle box)
+        timedBuild(spark, sfDir, math.max(1, scale / 8))
+        purgeExcept(spark, Set.empty)
+        System.gc()
+        var gcPrev = gcMillis
+        (1 to math.max(1, reps)).map { _ =>
+          val r = timedBuild(spark, sfDir, scale)
+          // release the rep's checkpoint/cache blocks before the next rep:
+          // the shared caches are not populated yet, so everything is
+          // garbage here
+          purgeExcept(spark, Set.empty)
+          System.gc()
+          val gcNow = gcMillis
+          gcSecs += (gcNow - gcPrev) / 1e3
+          gcPrev = gcNow
+          r
+        }
+      }
     aqe(spark, on = true)
     val warmSec = runs.map(_._4).min
     val buildSecs = runs.map(_._1).sorted
@@ -451,11 +476,13 @@ object ScalingLeg {
       buildSec: Double, edges: Long, warmSec: Double,
       taskSec: Double, cpuSec: Double, gcSec: Double, execGcSec: Double)
 
-  /** Spawn one leg child (does not block). */
-  def spawn(sfDir: String, scale: Int, cpus: Int): Process = {
+  /** Spawn a child JVM running `mainClass args...` with this JVM's flags
+    * (the Spark add-opens set) minus heap sizing; `heap` replaces -Xmx.
+    * Shared by the scaling legs and the headline reps (does not block).
+    */
+  private[graft] def spawnJvm(mainClass: String, heap: String, args: Seq[String]): Process = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    // inherit this JVM's flags (the Spark add-opens set) minus heap sizing
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
       .asScala
       .filterNot(a =>
@@ -463,14 +490,11 @@ object ScalingLeg {
           a.startsWith("-XX:ActiveProcessorCount"))
       .toSeq
     val cmd = Seq(javaBin) ++ inherited ++ Seq(
-      "-Xmx8g", // driver JVM — identical on every leg (see Scaladoc)
+      s"-Xmx$heap",
       "-cp",
       System.getProperty("java.class.path"),
-      "graft.ScalingLeg",
-      sfDir,
-      scale.toString,
-      cpus.toString
-    )
+      mainClass
+    ) ++ args
     val pb = new ProcessBuilder(cmd.asJava)
       .redirectError(ProcessBuilder.Redirect.INHERIT)
     // local-cluster executor launch needs a Spark layout + scala version
@@ -478,6 +502,12 @@ object ScalingLeg {
     pb.environment().putIfAbsent("SPARK_SCALA_VERSION", "2.13")
     pb.start()
   }
+
+  /** Spawn one leg child (does not block). Driver JVM -Xmx identical on
+    * every leg (see Scaladoc).
+    */
+  def spawn(sfDir: String, scale: Int, cpus: Int): Process =
+    spawnJvm("graft.ScalingLeg", "8g", Seq(sfDir, scale.toString, cpus.toString))
 
   /** Block on a spawned leg and parse its LEG line. */
   def await(proc: Process): Option[LegResult] = {
@@ -521,6 +551,66 @@ object ScalingLeg {
       val soloPerEdge = s.cpuSec / s.edges
       val concPerEdge = rs.map(r => r.cpuSec / r.edges).sum / rs.size
       (concPerEdge / soloPerEdge, s.cpuSec, rs.map(_.cpuSec).sum / rs.size)
+    }
+  }
+}
+
+/** One headline rep in an isolated child JVM: same `local[cpus]` master,
+  * same shuffle partitioning, same scale as the in-JVM loop it replaces —
+  * the ONLY difference is that each rep gets a fresh heap, so GC residency
+  * from prior reps (the round-4 amplifier: per-rep GC 2.1–29.3 s in one
+  * shared ~100 GB heap) cannot contaminate the median. The child pays its
+  * own untimed 1/8-scale warmup (JIT + first-touch), times ONE build, prints
+  * one `HLEG {...}` line, and exits.
+  *
+  * Child heap defaults to 32g (env SPARK_GRAFT_HEADLINE_HEAP): the sf0.1 ×
+  * scale-16 build's working set is a few GiB, and a right-sized fresh heap
+  * keeps collections short — the parent's ~100 GB heap was sized for the
+  * whole bench (reps + prime + 107-query suite), not for one build.
+  */
+object HeadlineLeg {
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, scale, cpus, parts) =
+      (args(0), args(1).toInt, args(2).toInt, args(3).toInt)
+    val s = Bench.session(cpus, parts)
+    Bench.aqe(s, on = false)
+    Bench.timedBuild(s, sfDir, math.max(1, scale / 8))
+    Bench.purgeExcept(s, Set.empty)
+    System.gc()
+    val gc0 = gcMillis
+    val (sec, nodes, edges, warm) = Bench.timedBuild(s, sfDir, scale)
+    val gcSec = (gcMillis - gc0) / 1e3
+    println(
+      s"""HLEG {"build_sec":$sec,"nodes":$nodes,"edges":$edges,""" +
+        s""""warm_sec":$warm,"gc_sec":$gcSec}""")
+    s.stop()
+  }
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime)
+      .sum
+  }
+
+  /** Run one rep child and parse its HLEG line:
+    * (buildSec, nodes, edges, warmSec, gcSec).
+    */
+  def runIsolated(
+      sfDir: String, scale: Int, cpus: Int, parts: Int
+  ): Option[(Double, Long, Long, Double, Double)] = {
+    val heap = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_HEAP", "32g")
+    val proc = ScalingLeg.spawnJvm(
+      "graft.HeadlineLeg", heap,
+      Seq(sfDir, scale.toString, cpus.toString, parts.toString))
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    proc.waitFor()
+    val re =
+      ("""HLEG \{"build_sec":([0-9.Ee+-]+),"nodes":(\d+),"edges":(\d+),""" +
+        """"warm_sec":([0-9.Ee+-]+),"gc_sec":([0-9.Ee+-]+)\}""").r
+    out.collectFirst { case re(b, n, e, w, g) =>
+      (b.toDouble, n.toLong, e.toLong, w.toDouble, g.toDouble)
     }
   }
 }

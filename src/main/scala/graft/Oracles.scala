@@ -26,7 +26,7 @@ object Oracles {
 
   /** Graph CTEs on top of Transcripts.oracleCte (enriched/transcripts). */
   val graphCte: String = s"""
-, dict(alias_name, canonical) AS (VALUES $dictValues)
+, dict(alias_name, canonical) AS MATERIALIZED (VALUES $dictValues)
 , ments AS (
     SELECT conv_id, turn_idx, alias AS name FROM enriched
     UNION ALL
@@ -34,22 +34,22 @@ object Oracles {
     UNION ALL
     SELECT conv_id, turn_idx, alias2 FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
 )
-, rents AS (
+, rents AS MATERIALIZED (
     SELECT m.conv_id, m.turn_idx, m.name, d.canonical
     FROM ments m JOIN dict d ON d.alias_name = m.name
 )
-, cvn AS (SELECT DISTINCT canonical AS name FROM rents)
-, csh AS (
+, cvn AS MATERIALIZED (SELECT DISTINCT canonical AS name FROM rents)
+, csh AS MATERIALIZED (
     SELECT DISTINCT name,
       unnest(list_transform(range(1, greatest(length(lower(name))-2, 0)+1),
              i -> substr(lower(name), i, 3))) AS shingle
     FROM cvn WHERE length(name) >= 3
 )
 , csig AS (SELECT name, ${(0 until 8).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")} FROM csh GROUP BY name)
-, cbanded AS (${(0 until 4)
+, cbanded AS MATERIALIZED (${(0 until 4)
       .map(b => s"SELECT name, $b AS band_idx, h${2 * b} || '|' || h${2 * b + 1} AS band_key FROM csig")
       .mkString(" UNION ALL ")})
-, ccand AS (
+, ccand AS MATERIALIZED (
     SELECT DISTINCT x.name AS name_a, y.name AS name_b
     FROM cbanded x JOIN cbanded y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
     WHERE x.name < y.name
@@ -60,8 +60,8 @@ object Oracles {
                  JOIN csh b ON b.name = c.name_b AND b.shingle = a.shingle
     GROUP BY 1, 2
 )
-, csizes AS (SELECT name, count(*) AS n FROM csh GROUP BY name)
-, cpairs AS (
+, csizes AS MATERIALIZED (SELECT name, count(*) AS n FROM csh GROUP BY name)
+, cpairs AS MATERIALIZED (
     SELECT c.name_a, c.name_b
     FROM ccand c
     LEFT JOIN cinter i ON i.name_a = c.name_a AND i.name_b = c.name_b
@@ -69,7 +69,7 @@ object Oracles {
     JOIN csizes sb ON sb.name = c.name_b
     WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i.inter, 0)) >= 0.3
 )
-, cbi AS (
+, cbi AS MATERIALIZED (
     SELECT name_a AS src, name_b AS dst FROM cpairs
     UNION ALL
     SELECT name_b AS src, name_a AS dst FROM cpairs
@@ -79,16 +79,16 @@ object Oracles {
     UNION
     SELECT c.a, e.dst FROM cclosure c JOIN cbi e ON e.src = c.b
 )
-, cclust AS (SELECT a AS canonical, min(b) AS cluster FROM cclosure GROUP BY a)
-, crents AS (
+, cclust AS MATERIALIZED (SELECT a AS canonical, min(b) AS cluster FROM cclosure GROUP BY a)
+, crents AS MATERIALIZED (
     SELECT r.conv_id, r.turn_idx, r.name, cc.cluster AS canonical
     FROM rents r JOIN cclust cc ON cc.canonical = r.canonical
 )
-, calls AS (
+, calls AS MATERIALIZED (
     SELECT conv_id, turn_idx, alias2 || '_handler' AS name
     FROM enriched WHERE role = 'user' AND (event_id % 7) = 3
 )
-, defs AS (
+, defs AS MATERIALIZED (
     SELECT DISTINCT alias || '_handler' AS name, conv_id AS def_conv
     FROM enriched WHERE role = 'tool'
 )
@@ -123,7 +123,7 @@ object Oracles {
     SELECT name, substr(def_conv, 1, 11) AS user_prefix, min(def_conv) AS resolved_conv
     FROM defs GROUP BY 1, 2
 )
-, rcalls AS (
+, rcalls AS MATERIALIZED (
     SELECT c.conv_id, c.turn_idx, c.name,
       CASE WHEN gu.name IS NOT NULL THEN gu.resolved_conv
            WHEN sc.name IS NOT NULL THEN c.conv_id
@@ -160,19 +160,19 @@ object Oracles {
     LEFT JOIN byuser bu
       ON bu.name = c.name AND bu.user_prefix = substr(c.conv_id, 1, 11)
 )
-, fn_nodes AS (
+, fn_nodes AS MATERIALIZED (
     SELECT alias || '_handler' AS name, conv_id, min(turn_idx) AS turn_idx
     FROM enriched WHERE role = 'tool' GROUP BY 1, 2
 )
-, ep_ids AS (
+, ep_ids AS MATERIALIZED (
     SELECT DISTINCT $normPath AS name, verb FROM enriched WHERE role = 'tool'
 )
-, imports AS (
+, imports AS MATERIALIZED (
     SELECT conv_id, min(turn_idx) AS turn_idx,
            string_agg(tool, chr(10) ORDER BY turn_idx) AS body
     FROM transcripts WHERE tool IS NOT NULL GROUP BY conv_id
 )
-, page_ids AS (
+, page_ids AS MATERIALIZED (
     SELECT DISTINCT resource AS name FROM enriched WHERE role = 'assistant'
 )
 , group_ids AS (
@@ -189,7 +189,7 @@ object Oracles {
           FROM enriched WHERE role = 'tool') d
       ON d.conv_id = r.conv_id AND d.def_idx < r.turn_idx AND r.turn_idx <= d.def_idx + 5
 )
-, nested AS (SELECT conv_id, turn_idx, req_path, fn_name FROM nested0 WHERE rn = 1)
+, nested AS MATERIALIZED (SELECT conv_id, turn_idx, req_path, fn_name FROM nested0 WHERE rn = 1)
 , docs_cte AS (
     SELECT conv_id, turn_idx, name, docs FROM (
       SELECT conv_id, turn_idx, role, alias || '_handler' AS name,
@@ -199,19 +199,19 @@ object Oracles {
       WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
     ) WHERE role = 'tool'
 )
-, inst_ids AS (SELECT DISTINCT name, canonical FROM crents)
-, dm_within AS (
+, inst_ids AS MATERIALIZED (SELECT DISTINCT name, canonical FROM crents)
+, dm_within AS MATERIALIZED (
     SELECT DISTINCT e.alias || '_handler' AS fn_name, e.conv_id, cc.cluster
     FROM enriched e
     JOIN dict d ON instr(e.text, d.alias_name) > 0
     JOIN cclust cc ON cc.canonical = d.canonical
     WHERE e.role = 'tool'
 )
-, var_rows AS (
+, var_rows AS MATERIALIZED (
     SELECT conv_id, turn_idx, CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS name
     FROM enriched WHERE role = 'tool'
 )
-, etests AS (
+, etests AS MATERIALIZED (
     SELECT conv_id, turn_idx, replace(path, '{id}', '$$' || '{id}') AS name, resource
     FROM enriched WHERE role = 'assistant' AND (event_id % 5) = 0
 )
@@ -312,7 +312,7 @@ object Oracles {
     SELECT 'Mock', name, '', -1, '', ${key4("'Mock'", "name", "''", "-1")}, NULL, 'kind=mock'
     FROM (SELECT DISTINCT name FROM rcalls WHERE strategy = 'unverified')
 )
-, nodes AS (
+, nodes AS MATERIALIZED (
     SELECT *, sha256(node_key) AS ref_id, sha256(body) AS hash,
            length(body) > 500000 AS skipped
     FROM nodes0
@@ -454,7 +454,7 @@ object Oracles {
            ${key4("'Function'", "name", "'unverified'", "-1")}, CAST(1.0 AS DOUBLE), 'mock_of'
     FROM (SELECT DISTINCT name FROM rcalls WHERE strategy = 'unverified')
 )
-, edges AS (
+, edges AS MATERIALIZED (
     -- duplicate (edge_type, src, dst) rows always carry identical payloads
     -- (see GraphBuild Scaladoc), so set-dedup matches dropDuplicates
     SELECT DISTINCT edge_type, src_key, dst_key, confidence, strategy FROM edges0
@@ -472,7 +472,7 @@ object Oracles {
                    * (CAST(i AS INTEGER) + 1)) % 101 AS DOUBLE) / 101 AS FLOAT))"""
 
   val nodeEmbCte: String = s"""
-, nemb AS (
+, nemb AS MATERIALIZED (
     SELECT node_key,
       ${embSql("node_key", "body")}
         AS embedding

@@ -247,6 +247,25 @@ object SparkEntry {
       Importance.scored(g.nodes, g.edges).lcp()
     }
 
+  /** Resolved-call table, materialized once per (session, sfDir): the build
+    * caches its own copy inside buildCore, but the query entry re-ran the
+    * full 7-strategy cascade per invocation (BENCH_r04: 0.81 -> 2.27 s at
+    * sf0.1 as the cascade widened) — the reference stores resolved CALLS
+    * edges once and serves reads from the store, so the entry reads a
+    * session-materialized table too.
+    */
+  private val resolvedCallsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def resolvedCallsOf(s: SparkSession, dir: String): DataFrame =
+    cached(resolvedCallsCache)(s, dir) {
+      val m = mentionsOf(s, dir)
+      CallResolver.resolveCalls(
+        m.where(col("mention_type") === "FunctionCall"),
+        m.where(col("mention_type") === "FunctionDef"),
+        Transcripts.fromEvents(s, dir)
+      ).lcp()
+    }
+
   /** Hint overlay table (queries.ts:88-98), shared by the four hint
     * queries; see [[Hints]] for the derivation.
     */
@@ -262,6 +281,7 @@ object SparkEntry {
   private[graft] def prime(s: SparkSession, dir: String): Unit = {
     mentionsOf(s, dir)
     graphOf(s, dir)
+    resolvedCallsOf(s, dir)
     nodeEmbOf(s, dir)
     pagerankOf(s, dir)
     importanceOf(s, dir)
@@ -281,14 +301,7 @@ object SparkEntry {
     "kg_mentions" -> ((s, dir) => mentionsOf(s, dir)),
 
     // C1/C2 resolution cascade with confidence + strategy provenance
-    "kg_resolve_calls" -> { (s, dir) =>
-      val m = mentionsOf(s, dir)
-      CallResolver.resolveCalls(
-        m.where(col("mention_type") === "FunctionCall"),
-        m.where(col("mention_type") === "FunctionDef"),
-        Transcripts.fromEvents(s, dir)
-      )
-    },
+    "kg_resolve_calls" -> ((s, dir) => resolvedCallsOf(s, dir)),
 
     // C4 dictionary/registry resolution (type_resolved analog, conf 1.0)
     "kg_resolve_entities" -> { (s, dir) =>

@@ -98,6 +98,30 @@ object Canon {
     pairs
   }
 
+  /** UTF-8 byte order — the SAME total order Spark's UTF8String binary
+    * comparisons (min("cluster"), col(a) < col(b)) use. Java String
+    * compareTo orders by UTF-16 code UNITS, which disagrees with code-point
+    * order for supplementary-plane characters (surrogates 0xD800+ sort below
+    * BMP chars >= 0xE000), so a driver path using compareTo could pick a
+    * different component root than the distributed twin. All driver-side
+    * min-root selections go through this comparator.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.util.Arrays.compareUnsigned(x, y) < 0
+  }
+
+  /** Per-bucket candidate budget for the driver-local [[clusters]] path: an
+    * LSH bucket of m names yields m(m-1)/2 driver-heap pairs, so a skewed
+    * bucket (many near-identical names) is quadratic where the distributed
+    * twin's bucket self-join would spill. [[DriverCcMaxVertices]] was
+    * calibrated for union-find over already-thresholded pairs; the full LSH
+    * path gets this tighter pair budget instead — exceeded, it falls back to
+    * the distributed pipeline (identical semantics).
+    */
+  val DriverMaxCandidatePairs: Long = 2L << 20
+
   /** End-to-end size-adaptive clustering: semantically IDENTICAL to
     * `connectedComponents(names, candidatePairs(names, minJaccard))` — same
     * shingles, same md5-hex-string MinHash, same band buckets, same exact-
@@ -141,6 +165,15 @@ object Canon {
         }
       }
     }
+    // pair budget BEFORE materializing: a skewed bucket (or many medium
+    // ones) would otherwise build O(m^2) pairs on the driver heap — past the
+    // budget the distributed pipeline (which spills its bucket self-join)
+    // runs instead, semantics unchanged
+    val pairBound = buckets.values.iterator.map { xs =>
+      val m = xs.distinct.size.toLong; m * (m - 1) / 2
+    }.sum
+    if (pairBound > DriverMaxCandidatePairs)
+      return connectedComponentsLoop(names, candidatePairs(names, minJaccard))
     val cand = scala.collection.mutable.HashSet.empty[(String, String)]
     buckets.values.foreach { xs =>
       val arr = xs.distinct.sorted
@@ -161,7 +194,7 @@ object Canon {
       val uni = sa.size + sb.size - inter
       if (uni > 0 && inter.toDouble / uni >= minJaccard) {
         val (ra, rb) = (find(a), find(b))
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        if (utf8Lt(ra, rb)) parent(rb) = ra else if (utf8Lt(rb, ra)) parent(ra) = rb
       }
     }
     nm.toSeq.map(x => (x, find(x))).toDF("name", "cluster")
@@ -200,10 +233,11 @@ object Canon {
         val (a, b) = (r.getString(0), r.getString(1))
         if (parent.contains(a) && parent.contains(b)) {
           val (ra, rb) = (find(a), find(b))
-          // always hang the LARGER root under the smaller, so the final
+          // always hang the LARGER root under the smaller (UTF-8 byte
+          // order, matching Spark's UTF8String comparisons), so the final
           // root of every component IS its min name — the exact fixpoint
           // the distributed loop converges to
-          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          if (utf8Lt(ra, rb)) parent(rb) = ra else if (utf8Lt(rb, ra)) parent(ra) = rb
         }
       }
       names.toSeq.map(x => (x, find(x))).toDF("name", "cluster")

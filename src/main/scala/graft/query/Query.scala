@@ -74,8 +74,14 @@ object Query {
       // visited accumulates as a LAZY union of the per-level checkpoints —
       // re-checkpointing it each level would rewrite the whole visited set
       // (O(depth x |visited|) materialized rows); the anti-join above scans
-      // the <= depth checkpointed leaves instead, which is strictly less work
+      // the <= depth checkpointed leaves instead, which is strictly less
+      // work. For DEEP expansions the union would still grow the logical
+      // plan quadratically (each level re-plans a union of d leaves), so the
+      // accumulator is compacted to a single leaf every 8 levels — bounded
+      // plan width at depth >> the query surface's usual <= 4, while the
+      // shallow common case never pays a rewrite.
       visited = visited.unionByName(next)
+      if ((d + 1) % 8 == 0) visited = visited.lcp()
       frontier = next
       d += 1
     }

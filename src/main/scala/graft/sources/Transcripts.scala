@@ -154,7 +154,7 @@ object Transcripts {
     * events parquet. Prepended to every oracle SQL by [[oracle]].
     */
   val oracleCte: String =
-    s"""WITH RECURSIVE enriched AS (
+    s"""WITH RECURSIVE enriched AS MATERIALIZED (
   SELECT *,
     CAST(row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
     CASE
@@ -183,7 +183,7 @@ object Transcripts {
       'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '-' || strftime(ts, '%Y%m%d') AS conv_id
     FROM events
   )
-), transcripts AS (
+), transcripts AS MATERIALIZED (
   SELECT conv_id, turn_idx, role, text, tool, ts FROM enriched
 )"""
 
