@@ -24,6 +24,10 @@ object Oracles {
 
   val normPath = """regexp_replace(path, '/([0-9]+|\{id\})$', '/:param')"""
 
+  val topicValues: String = Dictionary.conceptTopics
+    .map { case (t, c) => s"('$t','$c')" }
+    .mkString(", ")
+
   /** Graph CTEs on top of Transcripts.oracleCte (enriched/transcripts). */
   val graphCte: String = s"""
 , dict(alias_name, canonical) AS MATERIALIZED (VALUES $dictValues)
@@ -215,6 +219,15 @@ object Oracles {
     SELECT conv_id, turn_idx, replace(path, '{id}', '$$' || '{id}') AS name, resource
     FROM enriched WHERE role = 'assistant' AND (event_id % 5) = 0
 )
+, topic_dim(topic, canonical) AS MATERIALIZED (VALUES $topicValues)
+, pkg_pairs AS MATERIALIZED (
+    SELECT DISTINCT string_split(tool, '_')[1] AS pkg, tool
+    FROM transcripts WHERE tool IS NOT NULL
+)
+, concept_members AS MATERIALIZED (
+    SELECT DISTINCT t.topic, cc.cluster
+    FROM topic_dim t JOIN cclust cc ON cc.canonical = t.canonical
+)
 , nodes0 AS (
     SELECT 'Corpus' AS node_type, 'corpus' AS name, '' AS conv_id, -1 AS turn_idx, '' AS body,
            ${key4("'Corpus'", "'corpus'", "''", "-1")} AS node_key,
@@ -311,6 +324,14 @@ object Oracles {
     UNION ALL
     SELECT 'Mock', name, '', -1, '', ${key4("'Mock'", "name", "''", "-1")}, NULL, 'kind=mock'
     FROM (SELECT DISTINCT name FROM rcalls WHERE strategy = 'unverified')
+    UNION ALL
+    SELECT 'Package', pkg, '', -1, '', ${key4("'Package'", "pkg", "''", "-1")},
+           NULL, 'kind=package'
+    FROM (SELECT DISTINCT pkg FROM pkg_pairs)
+    UNION ALL
+    SELECT 'Concept', topic, '', -1, '', ${key4("'Concept'", "topic", "''", "-1")},
+           NULL, 'kind=concept'
+    FROM (SELECT DISTINCT topic FROM concept_members)
 )
 , nodes AS MATERIALIZED (
     SELECT *, sha256(node_key) AS ref_id, sha256(body) AS hash,
@@ -453,6 +474,18 @@ object Oracles {
     SELECT 'OF', ${key4("'Mock'", "name", "''", "-1")},
            ${key4("'Function'", "name", "'unverified'", "-1")}, CAST(1.0 AS DOUBLE), 'mock_of'
     FROM (SELECT DISTINCT name FROM rcalls WHERE strategy = 'unverified')
+    UNION ALL
+    SELECT 'CONTAINS', ${key4("'Corpus'", "'corpus'", "''", "-1")},
+           ${key4("'Package'", "pkg", "''", "-1")}, CAST(1.0 AS DOUBLE), 'corpus_package'
+    FROM (SELECT DISTINCT pkg FROM pkg_pairs)
+    UNION ALL
+    SELECT 'CONTAINS', ${key4("'Package'", "pkg", "''", "-1")},
+           ${key4("'Tool'", "tool", "''", "-1")}, CAST(1.0 AS DOUBLE), 'package_tool'
+    FROM pkg_pairs
+    UNION ALL
+    SELECT 'INCLUDES', ${key4("'Concept'", "topic", "''", "-1")},
+           ${key4("'Entity'", "cluster", "''", "-1")}, CAST(1.0 AS DOUBLE), 'concept_includes'
+    FROM concept_members
 )
 , edges AS MATERIALIZED (
     -- duplicate (edge_type, src, dst) rows always carry identical payloads
@@ -494,7 +527,12 @@ object Oracles {
     * min-parent tracking, then a backtrack join chain reconstructing the
     * path string — twin of [[graft.query.Query.shortestPath]].
     */
-  def shortestPathSql(startKeyExpr: String, targetKeyExpr: String, maxDepth: Int = 4): String = {
+  def shortestPathSql(
+      startKeyExpr: String,
+      targetKeyExpr: String,
+      maxDepth: Int = 4,
+      edgesRel: String = "edges"
+  ): String = {
     val layers = (1 to maxDepth).map { k =>
       val priors = (0 until k).map(i => s"SELECT node_key FROM sl$i").mkString(" UNION ALL ")
       s"""
@@ -513,9 +551,9 @@ object Oracles {
     val pathCols = (maxDepth to 1 by -1).map(i => s"p$i.node_key").mkString(", ")
     s"""
 , spund AS MATERIALIZED (
-    SELECT src_key AS a, dst_key AS b FROM edges
+    SELECT src_key AS a, dst_key AS b FROM $edgesRel
     UNION
-    SELECT dst_key AS a, src_key AS b FROM edges
+    SELECT dst_key AS a, src_key AS b FROM $edgesRel
 )
 , sl0 AS MATERIALIZED (SELECT $startKeyExpr AS node_key, CAST(NULL AS VARCHAR) AS parent)
 $layers

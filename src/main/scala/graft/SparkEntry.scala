@@ -266,6 +266,18 @@ object SparkEntry {
       ).lcp()
     }
 
+  /** Inverted-index posting table (term, node_key, tf), materialized once
+    * per (session, sfDir) — the reference builds its Lucene fulltext index
+    * once at ingest (queries.ts:33-47) and every search probes it; see
+    * [[Query.buildPostings]].
+    */
+  private val postingsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def postingsOf(s: SparkSession, dir: String): DataFrame =
+    cached(postingsCache)(s, dir)(
+      Query.buildPostings(graphOf(s, dir).nodes).lcp()
+    )
+
   /** Hint overlay table (queries.ts:88-98), shared by the four hint
     * queries; see [[Hints]] for the derivation.
     */
@@ -282,6 +294,7 @@ object SparkEntry {
     mentionsOf(s, dir)
     graphOf(s, dir)
     resolvedCallsOf(s, dir)
+    postingsOf(s, dir)
     nodeEmbOf(s, dir)
     pagerankOf(s, dir)
     importanceOf(s, dir)
@@ -417,6 +430,10 @@ object SparkEntry {
     },
     // G3 CLI search scoring, top-10 deterministic
     "kg_search" -> ((s, dir) => Query.search(graphOf(s, dir).nodes, "postgres", 10)),
+    // G3 PRIMARY arm — inverted-index fulltext (queries.ts:33-47,497-547):
+    // probe of the session-materialized posting table, never a body scan
+    "kg_search_indexed" -> ((s, dir) =>
+      Query.searchIndexed(postingsOf(s, dir), graphOf(s, dir).nodes, "postgres handler", 10)),
     // G3 filtered search: all five reference filter families exercised
     // (node_types, skip_node_types, extensions, include/exclude patterns —
     // queries.ts:505-532; conv_id plays node.file)
@@ -523,6 +540,27 @@ object SparkEntry {
       val text = Query.search(g.nodes, "postgres", 10).select("node_key", "score")
       val vec = hybridVecSource(s, dir)
       Query.rrfFuseWithProvenance(Seq(("fulltext", text, 1.0), ("vector", vec, 1.5)), 5, 10)
+        .withColumn("fused_score", round(col("fused_score"), 6))
+    },
+    // G5 THREE-source provenance fusion (graph.ts:119-249 multi-source
+    // shape): indexed fulltext ⊕ node-vector cosine (×1.5) ⊕ pagerank prior,
+    // each fused row carrying per-source rank/score provenance. The pagerank
+    // arm reads the session-materialized converged table (the reference
+    // stores pagerank as a node property and sorts search hits by it).
+    "kg_hybrid_tri" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val text = Query.searchIndexed(postingsOf(s, dir), g.nodes, "postgres", 10)
+        .select("node_key", "score")
+      val vec = hybridVecSource(s, dir)
+      // round(5) BEFORE fusion: the converged rank is the one double in the
+      // fusion whose bit pattern differs across engines (20 iterations of
+      // differently-ordered double sums); both sides fuse the same decimal
+      val pr = pagerankOf(s, dir)
+        .select(col("node_key"), round(col("rank"), 5).as("score"))
+        .orderBy(col("score").desc, col("node_key"))
+        .limit(10)
+      Query.rrfFuseWithProvenance(
+        Seq(("fulltext", text, 1.0), ("vector", vec, 1.5), ("pagerank", pr, 1.0)), 5, 10)
         .withColumn("fused_score", round(col("fused_score"), 6))
     },
     // G5 token-budget cutoff (graph.ts:207-235): same fusion, truncated by a
@@ -770,6 +808,21 @@ object SparkEntry {
         .map(r => r.getString(0) -> r.getString(1)).toMap
       Query.shortestPath(g.edges, keys("postgres"), keys("kafka"), 4)
     },
+    // G9 TYPE-CONSTRAINED shortest path (queries.ts:820-849: traversal
+    // restricted to Page|Function|Request|Endpoint|Datamodel nodes): BFS
+    // over the typed edge projection, Page 'orders' -> DataModel 'postgres'
+    // (Page -RENDERS-> Endpoint -HANDLER-> Function -CONTAINS-> DataModel)
+    "kg_path_typed" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      val tEdges = Query.typeProjectedEdges(g.nodes, g.edges, Query.PathNodeTypes)
+      val keys = g.nodes
+        .where(
+          (col("node_type") === "Page" && col("name") === "orders") ||
+            (col("node_type") === "DataModel" && col("name") === "postgres"))
+        .select("node_type", "node_key").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      Query.shortestPath(tEdges, keys("Page"), keys("DataModel"), 4)
+    },
     // D19+D20 full prune: drop uncalled functions AND incident edges
     "kg_pruned_graph" -> { (s, dir) =>
       val g = graphOf(s, dir)
@@ -880,6 +933,20 @@ object SparkEntry {
         .select(col("node_key"), col("name"), element_at(col("meta"), "group").as("grp"))
     },
     // E7 package nodes: tool-name prefix dimension
+    // Concept surface (mod.rs:30-56,83-99): each curated topic Concept with
+    // its INCLUDES member entities, read back from the graph tables
+    "kg_concepts" -> { (s, dir) =>
+      val g = graphOf(s, dir)
+      g.edges
+        .where(col("edge_type") === "INCLUDES")
+        .join(
+          g.nodes.select(col("node_key").as("src_key"), col("name").as("concept")),
+          Seq("src_key"))
+        .join(
+          g.nodes.select(col("node_key").as("dst_key"), col("name").as("member")),
+          Seq("dst_key"))
+        .select("concept", "member")
+    },
     "kg_packages" -> { (s, dir) =>
       Transcripts.fromEvents(s, dir)
         .where(col("tool").isNotNull)
@@ -1002,6 +1069,61 @@ object SparkEntry {
   /** Shared hybrid-fusion CTE chain: text search ⊕ node-vector source ⊕ RRF
     * contributions (consumed by the plain and the token-budget variants).
     */
+  /** Inverted-index posting CTE — DuckDB twin of [[Query.buildPostings]]
+    * (same tokenizer: lower(name ⊕ ' ' ⊕ body) split on non-alphanumeric).
+    */
+  private lazy val postCte: String = """
+      , post AS MATERIALIZED (
+          SELECT node_key, term, count(*) AS tf FROM (
+            SELECT node_key,
+                   unnest(string_split_regex(lower(name || ' ' || body),
+                          '[^a-z0-9]+')) AS term
+            FROM nodes)
+          WHERE term <> '' GROUP BY 1, 2)"""
+
+  /** Three-source fusion CTEs (indexed fulltext + node-vector + pagerank
+    * prior) — DuckDB twin of the kg_hybrid_tri entry. The pagerank arm
+    * rounds to 5 decimals BEFORE fusion on both sides (the converged rank is
+    * the one double whose bit pattern differs across engines).
+    */
+  private lazy val triCte: String = Oracles.nodeEmbCte + postCte + s"""
+      , itsearch AS (
+          SELECT node_key, CAST(sum(tf) AS DOUBLE) AS score
+          FROM post WHERE term IN ('postgres') GROUP BY node_key
+          ORDER BY score DESC, node_key LIMIT 10)
+      , nq AS (SELECT embedding AS qv FROM nemb WHERE node_key = $pgEntityKeySql)
+      , vsrc AS (
+          SELECT node_key, score FROM (
+            SELECT e.node_key, ${Oracles.cosSql("q.qv", "e.embedding")} AS score
+            FROM nemb e, nq q WHERE e.node_key <> $pgEntityKeySql
+          ) WHERE score >= 0.0 ORDER BY score DESC, node_key LIMIT 10
+      )""" + Oracles.pagerankChain + """
+      , prsrc AS (
+          SELECT node_key, round(rank, 5) AS score FROM pr20
+          ORDER BY score DESC, node_key LIMIT 10)
+      , srcs_p AS (
+        SELECT node_key, 'fulltext' AS source,
+               CAST(row_number() OVER (ORDER BY score DESC, node_key) AS INTEGER) AS rank,
+               CAST(score AS DOUBLE) AS score,
+               1.0 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
+               * (0.5 + 0.5*score/max(score) OVER ()) AS rrf
+        FROM itsearch
+        UNION ALL
+        SELECT node_key, 'vector',
+               CAST(row_number() OVER (ORDER BY score DESC, node_key) AS INTEGER),
+               CAST(score AS DOUBLE),
+               1.5 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
+               * (0.5 + 0.5*score/max(score) OVER ())
+        FROM vsrc
+        UNION ALL
+        SELECT node_key, 'pagerank',
+               CAST(row_number() OVER (ORDER BY score DESC, node_key) AS INTEGER),
+               CAST(score AS DOUBLE),
+               1.0 * (1.0/(5 + row_number() OVER (ORDER BY score DESC, node_key)))
+               * (0.5 + 0.5*score/max(score) OVER ())
+        FROM prsrc
+      )"""
+
   private lazy val hybridCte: String = Oracles.nodeEmbCte + s"""
       , tsearch AS (
         SELECT node_key, CAST(score AS DOUBLE) AS score FROM (
@@ -1247,6 +1369,28 @@ object SparkEntry {
         WHERE w.depth < 2
       )
       SELECT node_key, min(depth) AS depth FROM rwalk GROUP BY node_key
+    """),
+    "kg_search_indexed" -> Oracles.withGraph(postCte + """
+      , ihits AS (
+          SELECT node_key, sum(tf) AS score, count(*) AS terms_matched
+          FROM post WHERE term IN ('postgres', 'handler') GROUP BY 1)
+      SELECT h.node_key, n.node_type, n.name,
+             CAST(h.score AS BIGINT) AS score,
+             CAST(h.terms_matched AS BIGINT) AS terms_matched
+      FROM ihits h JOIN nodes n ON n.node_key = h.node_key
+      ORDER BY h.score DESC, h.node_key LIMIT 10
+    """),
+    "kg_hybrid_tri" -> Oracles.withGraph(triCte + """
+      SELECT node_key, round(sum(rrf), 6) AS fused_score,
+             string_agg(source, ',' ORDER BY source) AS sources,
+             max(CASE WHEN source = 'fulltext' THEN rank END) AS fulltext_rank,
+             max(CASE WHEN source = 'fulltext' THEN score END) AS fulltext_score,
+             max(CASE WHEN source = 'vector' THEN rank END) AS vector_rank,
+             max(CASE WHEN source = 'vector' THEN score END) AS vector_score,
+             max(CASE WHEN source = 'pagerank' THEN rank END) AS pagerank_rank,
+             max(CASE WHEN source = 'pagerank' THEN score END) AS pagerank_score
+      FROM srcs_p GROUP BY node_key
+      ORDER BY sum(rrf) DESC, node_key LIMIT 10
     """),
     "kg_search" -> Oracles.withGraph("""
       SELECT node_key, node_type, name, score FROM (
@@ -1743,6 +1887,20 @@ object SparkEntry {
       Oracles.key4("'Entity'", "'postgres'", "''", "-1"),
       Oracles.key4("'Entity'", "'kafka'", "''", "-1")
     )),
+    "kg_path_typed" -> Oracles.withGraph(
+      """
+      , tnodes AS MATERIALIZED (SELECT node_key FROM nodes
+          WHERE node_type IN ('Page','Function','Request','Endpoint','DataModel'))
+      , tedges AS MATERIALIZED (
+          SELECT e.src_key, e.dst_key FROM edges e
+          JOIN tnodes a ON a.node_key = e.src_key
+          JOIN tnodes b ON b.node_key = e.dst_key)""" +
+        Oracles.shortestPathSql(
+          Oracles.key4("'Page'", "'orders'", "''", "-1"),
+          Oracles.key4("'DataModel'", "'postgres'", "''", "-1"),
+          4,
+          "tedges"
+        )),
     "kg_pruned_graph" -> Oracles.withGraph("""
       , pruned AS (
           SELECT node_key FROM nodes n WHERE node_type = 'Function'
@@ -1832,6 +1990,9 @@ object SparkEntry {
     "kg_maintenance" -> Oracles.withGraph(
       "SELECT node_key, 'default' AS namespace FROM nodes"
     ),
+    "kg_concepts" -> Oracles.withGraph("""
+      SELECT topic AS concept, cluster AS member FROM concept_members
+    """),
     "kg_packages" -> O("""
       SELECT string_split(tool, '_')[1] AS package, count(DISTINCT tool) AS n_tools
       FROM transcripts WHERE tool IS NOT NULL GROUP BY 1

@@ -29,14 +29,26 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Written BEFORE the query loop: a mid-run kill must leave a readable
-    // oracle map alongside whatever parquet dirs finished, so the driver's
-    // gate degrades to partial rather than empty.
-    val json = SparkEntry.oracleSql
+    // Gate ordering: cheapest queries FIRST, the measured heavy tail LAST
+    // (Spark-side costs from the committed bench JSONs; every oracle is now
+    // <0.5 s after the MATERIALIZED-CTE fix). A time-budgeted driver gate
+    // that kills the run mid-way then still finds complete parquet dumps for
+    // the bulk of the suite — partial, never empty.
+    val heavyTail = Seq(
+      "kg_coverage_kinds", "kg_link_text_endpoints", "kg_hybrid_search_budget",
+      "kg_subtree", "dp_ngram_jaccard", "kg_shortest_path", "dp_neardup_lsh",
+      "kg_subtree_directed", "kg_path", "kg_incremental_snapshot",
+      "kg_incremental", "kg_incremental_merged", "st_graph_ingest")
+    def rank(n: String): (Int, String) = (heavyTail.indexOf(n), n)
+    // Written BEFORE the query loop (same order): a mid-run kill must leave
+    // a readable oracle map alongside whatever parquet dirs finished.
+    val json = SparkEntry.oracleSql.toSeq.sortBy(kv => rank(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     var nPass, nFail = 0
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(kv => rank(kv._1))
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

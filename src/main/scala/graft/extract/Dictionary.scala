@@ -35,6 +35,25 @@ object Dictionary {
   val aliasToCanonical: Map[String, String] =
     aliasTable.map { case (_, a, c) => a -> c }.toMap + (hotAlias -> hotCanonical)
 
+  /** Curated topic -> canonical-member map for Concept nodes (the reference
+    * names Concept as a node type and declares Concept-`Includes`-anything,
+    * ast/src/lang/graphs/mod.rs:30-56,83-99, but its builder never emits
+    * them — here Concepts are first-class graph citizens). Members are
+    * PRE-cluster canonicals; the Includes edge targets the member's
+    * post-canonicalization Entity cluster, and a Concept only materializes
+    * when at least one member entity was observed in the corpus.
+    */
+  val conceptTopics: Seq[(String, String)] = Seq(
+    ("storage", "postgres"),
+    ("storage", "redis"),
+    ("storage", "s3"),
+    ("streaming", "kafka"),
+    ("streaming", "flink"),
+    ("compute", "spark"),
+    ("compute", "sparkengine"),
+    ("orchestration", "airflow")
+  )
+
   /** Alternation pattern for the mention scanner. Longer aliases first so
     * leftmost-first alternation (java.util.regex and RE2 both) never matches
     * a prefix alias inside a longer one (Spark ⊂ SparkEngine/ApacheSpark,

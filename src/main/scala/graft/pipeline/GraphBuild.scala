@@ -408,9 +408,29 @@ object GraphBuild {
       .join(broadcast(clusters), Seq("canonical"))
       .select(col("fn_name"), col("conv_id"), col("cluster"))
       .distinct()
-    val planned = probe("batch plan (lcpAll x8)")(graft.util.Ckpt.lcpAll(Seq(
+    // Package dimension (reference Package variant, mod.rs:30-56): the
+    // tool-prefix namespace, one (prefix, tool) membership pair per distinct
+    // tool — feeds the Package node branch plus two CONTAINS edge branches
+    val pkgPairsRaw = tMeta
+      .where(col("tool").isNotNull)
+      .select(split(col("tool"), "_").getItem(0).as("name"), col("tool"))
+      .distinct()
+    // Concept membership (mod.rs:30-56,83-99): curated topic -> the member
+    // canonical's post-canonicalization Entity cluster; a Concept exists
+    // only when a member entity was observed. Dictionary-bounded dimension.
+    val conceptMembersRaw = {
+      import spark.implicits._
+      clusters
+        .join(
+          broadcast(graft.extract.Dictionary.conceptTopics.toDF("topic", "canonical")),
+          Seq("canonical"))
+        .select(col("topic"), col("cluster"))
+        .distinct()
+    }
+    val planned = probe("batch plan (lcpAll x10)")(graft.util.Ckpt.lcpAll(Seq(
       nested0Raw, instanceIdsRaw, fnNodes0Raw, epIdsRaw,
-      varNodesRaw, e2eRowsRaw, pageIdsRaw, dmWithinRaw)))
+      varNodesRaw, e2eRowsRaw, pageIdsRaw, dmWithinRaw,
+      pkgPairsRaw, conceptMembersRaw)))
     val nested0 = planned(0)
     val instanceIds = planned(1)
     val fnNodes0 = planned(2)
@@ -419,6 +439,8 @@ object GraphBuild {
     val e2eRows = planned(5)
     val pageIds = planned(6)
     val dmWithin = planned(7)
+    val pkgPairs = planned(8)
+    val conceptMembers = planned(9)
 
     // --- nodes ---------------------------------------------------------
     // Merged mode: Corpus/Conversation/Role rows recompute from the full
@@ -567,6 +589,18 @@ object GraphBuild {
       NodeTypes.Mock, col("name"), lit(""), lit(-1),
       meta = map(lit("kind"), lit("mock")))
 
+    // Package: tool-prefix namespace as a first-class node (Package variant,
+    // mod.rs:30-56); Corpus -CONTAINS-> Package -CONTAINS-> Tool below
+    val packageNodes = mkNodes(pkgPairs.select(col("name")).distinct(),
+      NodeTypes.Package, col("name"), lit(""), lit(-1),
+      meta = map(lit("kind"), lit("package")))
+
+    // Concept: curated dictionary topic with observed members (Concept
+    // variant + Concept-Includes-anything, mod.rs:30-56,83-99)
+    val conceptNodes = mkNodes(conceptMembers.select(col("topic")).distinct(),
+      NodeTypes.Concept, col("topic"), lit(""), lit(-1),
+      meta = map(lit("kind"), lit("concept")))
+
     // import section: one node per conversation, tools concatenated in turn
     // order (B4 combine_import_sections, builder/utils.rs:158-218)
     val importNodes0 = tMeta
@@ -599,7 +633,8 @@ object GraphBuild {
     val nodes = probe("nodes union")(
       Seq(spine, toolNodes, entityNodes, fnNodes, stubNodes, epNodes, reqNodes,
         importNodes, pageNodes, groupNodes, instanceNodes, dmNodes, varNodes,
-        integTestNodes, e2eTestNodes, classNodes, traitNodes, unitTestNodes, mockNodes)
+        integTestNodes, e2eTestNodes, classNodes, traitNodes, unitTestNodes, mockNodes,
+        packageNodes, conceptNodes)
         .reduce(_ unionByName _))
 
     // --- edges ---------------------------------------------------------
@@ -640,6 +675,8 @@ object GraphBuild {
     def traitKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Trait), n, lit(""), lit(-1))
     def utestKey(n: Column, c: Column, i: Column) = Keys.nodeKey(lit(NodeTypes.UnitTest), n, c, i)
     def mockKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Mock), n, lit(""), lit(-1))
+    def pkgKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Package), n, lit(""), lit(-1))
+    def conceptKey(n: Column) = Keys.nodeKey(lit(NodeTypes.Concept), n, lit(""), lit(-1))
 
     val containsConv = tMeta.select(col("conv_id")).distinct()
       .select(edge(EdgeTypes.Contains, corpusKey, convKey(col("conv_id"))): _*)
@@ -854,6 +891,22 @@ object GraphBuild {
       .select(edge(EdgeTypes.NestedIn, reqKey(col("req_name"), col("conv_id"), col("turn_idx")),
         fnKey(col("fn_name"), col("conv_id"), col("def_turn")), strat = lit("nested_scope")): _*)
 
+    // Corpus -CONTAINS-> Package -CONTAINS-> Tool: the package namespace
+    // spine (reference Package containment); both branches unique by the
+    // distinct'd (prefix, tool) dimension
+    val pkgCorpusE = pkgPairs
+      .select(col("name")).distinct()
+      .select(edge(EdgeTypes.Contains, corpusKey, pkgKey(col("name")),
+        strat = lit("corpus_package")): _*)
+    val pkgToolE = pkgPairs
+      .select(edge(EdgeTypes.Contains, pkgKey(col("name")), toolKey(col("tool")),
+        strat = lit("package_tool")): _*)
+
+    // Concept -INCLUDES-> member Entity cluster (mod.rs:83-99)
+    val includesE = conceptMembers
+      .select(edge(EdgeTypes.Includes, conceptKey(col("topic")), entityKey(col("cluster")),
+        strat = lit("concept_includes")): _*)
+
     val edges = Seq(containsConv, containsTurn, ofRole, usesTool, mentionsE, callsFn, handlerE)
       .reduce(_ unionByName _)
       .unionByName(callsReq)
@@ -873,6 +926,9 @@ object GraphBuild {
       .unionByName(classImplE)
       .unionByName(unitCallsE)
       .unionByName(mockOfE)
+      .unionByName(pkgCorpusE)
+      .unionByName(pkgToolE)
+      .unionByName(includesE)
     // sorted-set dedup (D1) is PER-BRANCH, pre-key, on compact natural
     // columns (mentionsE below; handlerE/operandE carry their own distinct;
     // every other branch is unique by construction: ≤1 handler/verb-path

@@ -225,6 +225,25 @@ object Query {
     * point query, like the reference's. Output: one row (path, depth), or
     * empty if unreachable.
     */
+  /** G9 node-type constraint (mcp/src/graph/queries.ts:820-849): the
+    * reference's shortest_path restricts traversal to
+    * Page|Function|Request|Endpoint|Datamodel nodes — the BFS edge relation
+    * keeps only edges whose BOTH ends are in the typed projection. Two
+    * left-semi prunes of the edge table against the (small) typed key set;
+    * at scale both are broadcast-able dimension joins, and the pruned
+    * relation is what [[shortestPath]]'s single upfront exchange partitions.
+    */
+  def typeProjectedEdges(nodes: DataFrame, edges: DataFrame, types: Seq[String]): DataFrame = {
+    val keys = nodes.where(col("node_type").isin(types: _*)).select("node_key")
+    edges
+      .join(keys.withColumnRenamed("node_key", "src_key"), Seq("src_key"), "left_semi")
+      .join(keys.withColumnRenamed("node_key", "dst_key"), Seq("dst_key"), "left_semi")
+  }
+
+  /** The reference's G9 traversal projection (queries.ts:820-849). */
+  val PathNodeTypes: Seq[String] =
+    Seq("Page", "Function", "Request", "Endpoint", "DataModel")
+
   def shortestPath(
       edges: DataFrame,
       startKey: String,
@@ -389,6 +408,50 @@ object Query {
       .withColumn("score", score.cast("int"))
       .where(col("score") > 0)
       .select("node_key", "node_type", "name", "score")
+      .orderBy(col("score").desc, col("node_key"))
+      .limit(limit)
+  }
+
+  /** G3 inverted-index fulltext arm (mcp/src/graph/queries.ts:33-47,497-547:
+    * the reference's PRIMARY search path is a Lucene fulltext index over
+    * name+body — `CALL db.index.fulltext.queryNodes` — with the CLI scoring
+    * variant [[search]] as the non-indexed fallback). This builds the index:
+    * tokenize lower(name ⊕ body) on non-alphanumeric boundaries into a
+    * (term, node_key, tf) posting table, materialized ONCE per graph build.
+    * At 100 TB the posting table is the scale answer — written bucketed/
+    * sorted by term, a search becomes a partition-pruned probe of the
+    * query's terms instead of a full-corpus body scan per search.
+    */
+  def buildPostings(nodes: DataFrame): DataFrame =
+    nodes
+      .select(
+        col("node_key"),
+        explode(split(lower(concat_ws(" ", col("name"), col("body"))), "[^a-z0-9]+"))
+          .as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term", "node_key")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k probe of the posting table: OR semantics over the query's terms
+    * (Lucene's default operator), score = Σ tf of matched terms — a
+    * deterministic, cross-engine-exact stand-in for Lucene's tf weighting.
+    * The probe filters the materialized posting leaf on `term ∈ query`
+    * BEFORE any aggregation, so the plan is an index probe, not a scan of
+    * node bodies; the per-node groupBy is over matched postings only.
+    */
+  def searchIndexed(
+      postings: DataFrame,
+      nodes: DataFrame,
+      query: String,
+      limit: Int
+  ): DataFrame = {
+    val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    postings
+      .where(col("term").isin(terms: _*))
+      .groupBy("node_key")
+      .agg(sum("tf").as("score"), count(lit(1)).as("terms_matched"))
+      .join(nodes.select("node_key", "node_type", "name"), Seq("node_key"))
+      .select("node_key", "node_type", "name", "score", "terms_matched")
       .orderBy(col("score").desc, col("node_key"))
       .limit(limit)
   }

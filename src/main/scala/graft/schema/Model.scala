@@ -111,10 +111,12 @@ object NodeTypes {
   val Trait = "Trait"               // Trait (dictionary contract a Class implements)
   val UnitTest = "UnitTest"         // UnitTest (same-conversation-resolved call)
   val Mock = "Mock"                 // Mock (stand-in for an unverified call target)
+  val Package = "Package"           // Package (tool-prefix namespace, mod.rs:30-56)
+  val Concept = "Concept"           // Concept (curated topic; Includes -> members, mod.rs:83-99)
   val all: Seq[String] =
     Seq(Corpus, Conversation, Turn, Role, Entity, Function, Endpoint, Request, Tool, Import,
       Page, EndpointGroup, Instance, DataModel, Var, IntegrationTest, E2eTest,
-      Class, Trait, UnitTest, Mock)
+      Class, Trait, UnitTest, Mock, Package, Concept)
 }
 
 object EdgeTypes {
@@ -132,4 +134,5 @@ object EdgeTypes {
   val ParentOf = "PARENT_OF"
   val Implements = "IMPLEMENTS"
   val NestedIn = "NESTED_IN"
+  val Includes = "INCLUDES" // Concept -Includes-> member entity (mod.rs:83-99)
 }
