@@ -361,6 +361,8 @@ object Bench {
               s""""cpu_sec_high":${h.cpuSec},"cpu_sec_low":${l.cpuSec},""" +
               s""""gc_sec_high":${h.gcSec},"gc_sec_low":${l.gcSec},""" +
               s""""exec_gc_sec_high":${h.execGcSec},"exec_gc_sec_low":${l.execGcSec},""" +
+              s""""shuffle_mb_high":${h.shuffleMb},"shuffle_mb_low":${l.shuffleMb},""" +
+              s""""shuffle_bytes_per_edge_high":${(h.shuffleMb << 20) / math.max(1L, h.edges)},""" +
               s""""weak_scaling":$weakJson,""" +
               s""""box_interference":$interfJson,""" +
               s""""efficiency_box_normalized":$effNormJson,"isolation":"local-cluster subprocess"}"""
@@ -440,6 +442,7 @@ object ScalingLeg {
     val taskMillis = new java.util.concurrent.atomic.AtomicLong()
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong()
     val spilled = new java.util.concurrent.atomic.AtomicLong()
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong()
     val execGcMillis = new java.util.concurrent.atomic.AtomicLong()
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -448,6 +451,9 @@ object ScalingLeg {
         if (m != null) {
           cpuNanos.addAndGet(m.executorCpuTime + m.shuffleWriteMetrics.writeTime)
           spilled.addAndGet(m.memoryBytesSpilled)
+          // total shuffle WRITE bytes of the timed build: the per-edge
+          // quotient is the number a shuffle-shrink claim must cite
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           // EXECUTOR-side GC: under local-cluster all task execution lives
           // in separate executor JVMs, so this driver's GC MXBeans see none
           // of it — jvmGCTime per task is the number a GC claim must cite
@@ -460,7 +466,7 @@ object ScalingLeg {
     val gcSec = (gcMillis - gc0) / 1e3
     println(s"""LEG {"build_sec":$sec,"edges":$edges,"warm_sec":$warm,""" +
       s""""task_sec":${taskMillis.get / 1e3},"cpu_sec":${cpuNanos.get / 1e9},""" +
-      s""""spill_mb":${spilled.get >> 20},"gc_sec":$gcSec,""" +
+      s""""spill_mb":${spilled.get >> 20},"shuffle_mb":${shufBytes.get >> 20},"gc_sec":$gcSec,""" +
       s""""exec_gc_sec":${execGcMillis.get / 1e3}}""")
     s.stop()
   }
@@ -474,7 +480,8 @@ object ScalingLeg {
 
   final case class LegResult(
       buildSec: Double, edges: Long, warmSec: Double,
-      taskSec: Double, cpuSec: Double, gcSec: Double, execGcSec: Double)
+      taskSec: Double, cpuSec: Double, gcSec: Double, execGcSec: Double,
+      shuffleMb: Long = 0L)
 
   /** Spawn a child JVM running `mainClass args...` with this JVM's flags
     * (the Spark add-opens set) minus heap sizing; `heap` replaces -Xmx.
@@ -515,10 +522,12 @@ object ScalingLeg {
     proc.waitFor()
     val re =
       ("""LEG \{"build_sec":([0-9.Ee+-]+),"edges":(\d+),"warm_sec":([0-9.Ee+-]+),""" +
-        """"task_sec":([0-9.Ee+-]+),"cpu_sec":([0-9.Ee+-]+),"spill_mb":\d+,"gc_sec":([0-9.Ee+-]+),""" +
+        """"task_sec":([0-9.Ee+-]+),"cpu_sec":([0-9.Ee+-]+),"spill_mb":\d+,""" +
+        """"shuffle_mb":(\d+),"gc_sec":([0-9.Ee+-]+),""" +
         """"exec_gc_sec":([0-9.Ee+-]+)\}""").r
-    out.collectFirst { case re(b, e, w, t, c, g, eg) =>
-      LegResult(b.toDouble, e.toLong, w.toDouble, t.toDouble, c.toDouble, g.toDouble, eg.toDouble)
+    out.collectFirst { case re(b, e, w, t, c, sh, g, eg) =>
+      LegResult(b.toDouble, e.toLong, w.toDouble, t.toDouble, c.toDouble, g.toDouble, eg.toDouble,
+        sh.toLong)
     }
   }
 

@@ -764,7 +764,11 @@ object GraphBuild {
         varKey(col("name"), col("conv_id"), col("turn_idx")),
         strat = lit("var_decl")): _*)
 
-    // HANDLER: endpoint identity -> handler function of the declaring turn
+    // HANDLER: endpoint identity -> handler function of the declaring turn.
+    // Dedup PRE-key on the compact natural columns (same rationale as
+    // mentionsE): (ep, verb, fn, conv) is the full edge identity once joined
+    // to the unique first-def turn, so the distinct's exchange moves 4 short
+    // columns instead of two built key strings.
     val handlerE = endpoints
       .select(
         PathNorm.canonical(PathNorm.normalizeBackend(col("path"))).as("ep_name"),
@@ -772,12 +776,13 @@ object GraphBuild {
       .join(
         fnDefs.select(col("conv_id"), col("turn_idx"), col("name").as("fn_name")),
         Seq("conv_id", "turn_idx"))
+      .select("ep_name", "verb", "fn_name", "conv_id")
+      .distinct()
       .join(fnFirstDef.withColumnRenamed("resolved_conv", "conv_id")
           .withColumnRenamed("name", "fn_name"), Seq("fn_name", "conv_id"))
       .select(edge(EdgeTypes.Handler, epKey(col("ep_name"), col("verb")),
         fnKey(col("fn_name"), col("conv_id"), col("def_turn")),
         strat = lit("handler")): _*)
-      .distinct()
 
     // D9 analog: the turn owning a Request gets CALLS(turn -> request),
     // as the reference emits CALLS(fn -> request) (btreemap_graph.rs:257-313)
