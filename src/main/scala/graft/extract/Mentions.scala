@@ -114,6 +114,17 @@ object Mentions {
   def docsAttach(transcripts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    // Exchange-shape note (measured, round 5): the obvious "100 TB" rewrite
+    // — a text-free meta window choosing the docs turn + joining text back
+    // from user turns only — was built and A/B-measured at scale 16/parts 8:
+    // total build shuffle write went 461 MB (this form) -> 515 MB (split
+    // form, even with all three inputs explicitly co-partitioned on
+    // conv_id). lag(text) rides ONE exchange whose text compresses ~10x
+    // under lz4, while the split form's three narrow exchanges don't — so
+    // the single window wins here and keeps winning until per-turn text is
+    // large enough that compressed text bytes dominate narrow-row overhead
+    // (multi-KB turns). Revisit the split form only with evidence from a
+    // corpus of that shape.
     transcripts
       .withColumn("name", regexp_extract(col("text"), Dictionary.handlerPattern, 1))
       .withColumn("prev_role1", lag("role", 1).over(w))
