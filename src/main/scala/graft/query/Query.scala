@@ -446,14 +446,21 @@ object Query {
       limit: Int
   ): DataFrame = {
     val terms = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
-    postings
+    // top-k FIRST (TakeOrdered over the aggregated hits — score and the
+    // node_key tiebreak are both available pre-join), THEN decorate the k
+    // winners with name/type via a broadcast join: the node table never
+    // shuffles for a search, matching the searchByPagerank shape.
+    val topHits = postings
       .where(col("term").isin(terms: _*))
       .groupBy("node_key")
       .agg(sum("tf").as("score"), count(lit(1)).as("terms_matched"))
-      .join(nodes.select("node_key", "node_type", "name"), Seq("node_key"))
-      .select("node_key", "node_type", "name", "score", "terms_matched")
       .orderBy(col("score").desc, col("node_key"))
       .limit(limit)
+    nodes
+      .select("node_key", "node_type", "name")
+      .join(broadcast(topHits), Seq("node_key"))
+      .select("node_key", "node_type", "name", "score", "terms_matched")
+      .orderBy(col("score").desc, col("node_key"))
   }
 
   /** G3 filtered search (mcp/src/graph/queries.ts:505-532 NODE_TYPES clause):
