@@ -184,7 +184,7 @@ object Canon {
         i += 1
       }
     }
-    val parent = scala.collection.mutable.HashMap(nm.map(x => x -> x): _*)
+    val parent = scala.collection.mutable.HashMap.from(nm.map(x => x -> x))
     @annotation.tailrec
     def find(x: String): String =
       if (parent(x) == x) x else { parent(x) = parent(parent(x)); find(parent(x)) }
@@ -225,7 +225,7 @@ object Canon {
       import spark.implicits._
       val names = vertices.select("name").collect().map(_.getString(0))
       val prs = pairs.select("name_a", "name_b").collect()
-      val parent = scala.collection.mutable.HashMap(names.map(x => x -> x): _*)
+      val parent = scala.collection.mutable.HashMap.from(names.map(x => x -> x))
       @annotation.tailrec
       def find(x: String): String =
         if (parent(x) == x) x else { parent(x) = parent(parent(x)); find(parent(x)) }
