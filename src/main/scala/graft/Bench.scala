@@ -196,10 +196,23 @@ object Bench {
     // with a populated parent heap. SPARK_GRAFT_ISOLATE_REPS=0 restores the
     // in-JVM loop (dev fast path).
     val isolateReps = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_REPS", "1") != "0"
+    val repsPerChild = 2 // boot+warmup amortized; GC stays flat (measured)
     val isolated: Seq[(Double, Long, Long, Double, Double)] =
       if (!isolateReps) Seq.empty
-      else (1 to math.max(1, reps)).flatMap { _ =>
-        HeadlineLeg.runIsolated(sfDir, scale, cpus, parts)
+      else {
+        val want = math.max(1, reps)
+        Iterator
+          .continually(())
+          .scanLeft(Seq.empty[(Double, Long, Long, Double, Double)]) { (acc, _) =>
+            acc ++ HeadlineLeg.runIsolated(
+              sfDir, scale, cpus, parts, math.min(repsPerChild, want - acc.size))
+          }
+          .zipWithIndex
+          // child-failure backstop: stop once we have `want` reps or after
+          // `want` children (a dead child contributes nothing; don't spin)
+          .collectFirst { case (acc, i) if acc.size >= want || i >= want => acc }
+          .getOrElse(Seq.empty)
+          .take(want)
       }
 
     val spark = session(cpus, parts)
@@ -582,17 +595,21 @@ object HeadlineLeg {
   def main(args: Array[String]): Unit = {
     val (sfDir, scale, cpus, parts) =
       (args(0), args(1).toInt, args(2).toInt, args(3).toInt)
+    val reps = args.lift(4).map(_.toInt).getOrElse(1)
     val s = Bench.session(cpus, parts)
     Bench.aqe(s, on = false)
     Bench.timedBuild(s, sfDir, math.max(1, scale / 8))
-    Bench.purgeExcept(s, Set.empty)
-    System.gc()
-    val gc0 = gcMillis
-    val (sec, nodes, edges, warm) = Bench.timedBuild(s, sfDir, scale)
-    val gcSec = (gcMillis - gc0) / 1e3
-    println(
-      s"""HLEG {"build_sec":$sec,"nodes":$nodes,"edges":$edges,""" +
-        s""""warm_sec":$warm,"gc_sec":$gcSec}""")
+    var gcPrev = { Bench.purgeExcept(s, Set.empty); System.gc(); gcMillis }
+    (1 to reps).foreach { _ =>
+      val (sec, nodes, edges, warm) = Bench.timedBuild(s, sfDir, scale)
+      Bench.purgeExcept(s, Set.empty)
+      System.gc()
+      val gcNow = gcMillis
+      println(
+        s"""HLEG {"build_sec":$sec,"nodes":$nodes,"edges":$edges,""" +
+          s""""warm_sec":$warm,"gc_sec":${(gcNow - gcPrev) / 1e3}}""")
+      gcPrev = gcNow
+    }
     s.stop()
   }
 
@@ -603,22 +620,24 @@ object HeadlineLeg {
       .sum
   }
 
-  /** Run one rep child and parse its HLEG line:
-    * (buildSec, nodes, edges, warmSec, gcSec).
+  /** Run one rep child (carrying `reps` timed builds — boot + warmup
+    * amortized over a couple of reps; GC stays flat in the right-sized
+    * fresh heap) and parse its HLEG lines:
+    * (buildSec, nodes, edges, warmSec, gcSec) per rep.
     */
   def runIsolated(
-      sfDir: String, scale: Int, cpus: Int, parts: Int
-  ): Option[(Double, Long, Long, Double, Double)] = {
+      sfDir: String, scale: Int, cpus: Int, parts: Int, reps: Int = 1
+  ): Seq[(Double, Long, Long, Double, Double)] = {
     val heap = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_HEAP", "32g")
     val proc = ScalingLeg.spawnJvm(
       "graft.HeadlineLeg", heap,
-      Seq(sfDir, scale.toString, cpus.toString, parts.toString))
+      Seq(sfDir, scale.toString, cpus.toString, parts.toString, reps.toString))
     val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
     proc.waitFor()
     val re =
       ("""HLEG \{"build_sec":([0-9.Ee+-]+),"nodes":(\d+),"edges":(\d+),""" +
         """"warm_sec":([0-9.Ee+-]+),"gc_sec":([0-9.Ee+-]+)\}""").r
-    out.collectFirst { case re(b, n, e, w, g) =>
+    out.collect { case re(b, n, e, w, g) =>
       (b.toDouble, n.toLong, e.toLong, w.toDouble, g.toDouble)
     }
   }
