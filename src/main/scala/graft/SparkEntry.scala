@@ -694,6 +694,22 @@ object SparkEntry {
         .withColumn("recall", col("hits").cast("double") / col("k").cast("double"))
     },
 
+    // TRAINED IVF: 2 exact-integer Lloyd iterations refining the first-N
+    // seeds (r4 honest limit "IVF centroids untrained" removed) + its
+    // recall vs brute force — the measured centroid-quality delta
+    "dp_ann_ivf_trained" -> ((s, dir) =>
+      datapipe.Ann.ivfTopKTrained(s.read.parquet(s"$dir/embeddings.parquet"), 4, 8, 5)),
+    "dp_ann_ivf_trained_recall" -> { (s, dir) =>
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val exact = datapipe.Ann.bruteTopKDot(emb, 8, 5).select("query_id", "cand_id")
+      val approx = datapipe.Ann.ivfTopKTrained(emb, 4, 8, 5).select("query_id", "cand_id")
+      exact
+        .join(approx.withColumn("hit", lit(1L)), Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"), coalesce(sum("hit"), lit(0L)).as("hits"))
+        .withColumn("recall", col("hits").cast("double") / col("k").cast("double"))
+    },
+
     // B8 filter_nested range ANTI-join (builder/stages.rs:197-277): requests
     // outside every handler scope window — left_anti with a non-equi
     // conv-local range condition
@@ -1069,6 +1085,52 @@ object SparkEntry {
   /** Shared hybrid-fusion CTE chain: text search ⊕ node-vector source ⊕ RRF
     * contributions (consumed by the plain and the token-budget variants).
     */
+  /** floor(x*1000)-grid integer dot — DuckDB twin of
+    * [[graft.functions.DotQuant]] (same as dp_ann_ivf's inline helper).
+    */
+  private def dotq(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), s -> " +
+      "CAST(floor(CAST(s[1] AS DOUBLE)*1000) AS BIGINT) * " +
+      s"CAST(floor(CAST(s[2] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT)"
+
+  /** Trained-IVF oracle CTEs — the unrolled DuckDB twin of
+    * [[datapipe.Ann.ivfAssignTrained]] (2 Lloyd iterations): integer
+    * vectors on the floor(x*1000) grid, centroids as exact (Σ vi, n)
+    * rationals, argmax by IEEE double division of int64s with centroid-id
+    * tiebreak. Exposes the final assignment as `ta3`.
+    */
+  private lazy val ivfTrainedCtes: String = {
+    def doti(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), s -> " +
+        s"CAST(s[1] AS BIGINT) * CAST(s[2] AS BIGINT))) AS BIGINT)"
+    def assignCte(out: String, cents: String) = s"""
+      , $out AS MATERIALIZED (
+          SELECT vec_id, embedding, vi, centroid_id AS cell FROM (
+            SELECT v.vec_id, v.embedding, v.vi, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     CAST(${doti("v.vi", "c.num")} AS DOUBLE) / CAST(c.den AS DOUBLE) DESC,
+                     c.centroid_id) AS rn
+            FROM vint v, $cents c) WHERE rn = 1)"""
+    def updateCte(out: String, a: String) = s"""
+      , ${out}_ex AS (
+          SELECT a.cell, d.j, CAST(sum(a.vi[d.j + 1]) AS BIGINT) AS s
+          FROM $a a CROSS JOIN (SELECT unnest(range(0, 64)) AS j) d GROUP BY 1, 2)
+      , ${out}_den AS (SELECT cell, CAST(count(*) AS BIGINT) AS den FROM $a GROUP BY 1)
+      , $out AS MATERIALIZED (
+          SELECT e.cell AS centroid_id, list(e.s ORDER BY e.j) AS num, min(dn.den) AS den
+          FROM ${out}_ex e JOIN ${out}_den dn ON dn.cell = e.cell GROUP BY e.cell)"""
+    """WITH vint AS MATERIALIZED (
+          SELECT vec_id, embedding,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS vi
+          FROM embeddings)
+      , tc0 AS (SELECT vec_id AS centroid_id, vi AS num, CAST(1 AS BIGINT) AS den
+                FROM vint WHERE vec_id < 4)""" +
+      assignCte("ta1", "tc0") + updateCte("tc1", "ta1") +
+      assignCte("ta2", "tc1") + updateCte("tc2", "ta2") +
+      assignCte("ta3", "tc2")
+  }
+
   /** Inverted-index posting CTE — DuckDB twin of [[Query.buildPostings]]
     * (same tokenizer: lower(name ⊕ ' ' ⊕ body) split on non-alphanumeric).
     */
@@ -2024,6 +2086,39 @@ object SparkEntry {
     "kg_find_endswith" -> Oracles.withGraph("""
       SELECT node_key, name, conv_id, turn_idx FROM nodes
       WHERE node_type = 'Request' AND name LIKE '%' || '$' || '{id}'
+    """),
+    "dp_ann_ivf_trained" -> (ivfTrainedCtes + s"""
+      , tq AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM ta3 WHERE vec_id < 8)
+      , tsc AS (SELECT tq.query_id, tq.cell, a.vec_id AS cand_id,
+                       ${dotq("tq.qv", "a.embedding")} AS score
+                FROM tq JOIN ta3 a ON a.cell = tq.cell AND a.vec_id <> tq.query_id)
+      SELECT query_id, cell, cand_id, score, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, cand_id) AS INTEGER) AS rank
+        FROM tsc) WHERE rank <= 5
+    """),
+    "dp_ann_ivf_trained_recall" -> (ivfTrainedCtes + s"""
+      , rex0 AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+                        ${dotq("q.embedding", "e.embedding")} AS score
+                 FROM vint q, vint e WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id)
+      , rex AS (SELECT query_id, cand_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, cand_id) AS rn FROM rex0) WHERE rn <= 5)
+      , rap0 AS (SELECT tq.query_id, a.vec_id AS cand_id,
+                        ${dotq("tq.qv", "a.embedding")} AS score
+                 FROM (SELECT vec_id AS query_id, embedding AS qv, cell
+                       FROM ta3 WHERE vec_id < 8) tq
+                 JOIN ta3 a ON a.cell = tq.cell AND a.vec_id <> tq.query_id)
+      , rap AS (SELECT query_id, cand_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, cand_id) AS rn FROM rap0) WHERE rn <= 5)
+      SELECT e.query_id, count(*) AS k,
+             CAST(coalesce(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS hits,
+             CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS recall
+      FROM rex e LEFT JOIN rap a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+      GROUP BY 1
     """),
     "dp_ann_ivf_recall" -> {
       def dot(a: String, b: String) =

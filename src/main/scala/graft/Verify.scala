@@ -37,7 +37,7 @@ object Verify {
     val heavyTail = Seq(
       "kg_coverage_kinds", "kg_link_text_endpoints", "kg_hybrid_search_budget",
       "kg_subtree", "dp_ngram_jaccard", "kg_shortest_path", "dp_neardup_lsh",
-      "kg_subtree_directed", "kg_path", "kg_incremental_snapshot",
+      "kg_subtree_directed", "kg_path_typed", "kg_path", "kg_incremental_snapshot",
       "kg_incremental", "kg_incremental_merged", "st_graph_ingest")
     def rank(n: String): (Int, String) = (heavyTail.indexOf(n), n)
     // Written BEFORE the query loop (same order): a mid-run kill must leave
